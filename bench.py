@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The flagship number is the moderation pipeline's turns/sec (the north
+rule's throughput surface); the other entries time the operator suite on
+the driver tables.  Run scripts/scaling_bench.py for the N-vs-4N
+parallelism scaling measurement (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TURNS_PER_DOC = 40  # pipeline input size = 40 turns per document row
+
+
+def _force(df) -> int:
+    """Force full computation of every row without collecting them."""
+    return df.select(F.count(F.lit(1))).collect()[0][0]
+
+
+def main() -> None:
+    from localmod_spark.operators.dedup import exact_dup_groups, minhash_candidates, with_minhash
+    from localmod_spark.operators.score import score_turns
+    from localmod_spark.operators.similarity import cosine_topk
+    from localmod_spark.operators.textstats import doc_stats, doc_text_features
+    from localmod_spark.operators.context import add_context
+    from localmod_spark.session import get_spark
+    from localmod_spark.sources.tables import load_table
+    from localmod_spark.sources.transcripts import synth_transcripts
+
+    spark = get_spark(
+        app_name="localmod_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    n_turns = max(20_000, n_docs * TURNS_PER_DOC)
+    turns = synth_transcripts(spark, n_turns, slices=CPUS * 2)
+    turns = turns.persist()
+    turns.count()  # materialize input so the pipeline timing excludes datagen
+
+    # Warm up JVM codegen + the reused Python workers (imports dominate the
+    # first pandas-UDF stage) so timings reflect steady-state throughput —
+    # on a long-lived cluster job this cost is paid once per executor.
+    _force(score_turns(turns.limit(2_000)))
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, thunk) -> None:
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: fused scoring + conversation context, end to end
+    bench(
+        "moderation_pipeline",
+        lambda: _force(add_context(score_turns(turns))),
+    )
+    bench("score_only", lambda: _force(score_turns(turns)))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bench("doc_stats", lambda: _force(doc_stats(docs)))
+    bench("text_features", lambda: _force(doc_text_features(docs)))
+    bench("exact_dedup", lambda: _force(exact_dup_groups(docs)))
+    bench(
+        "minhash_dedup",
+        lambda: _force(minhash_candidates(with_minhash(docs, num_hashes=64), bands=8, rows_per_band=8)),
+    )
+    bench("ann_topk", lambda: cosine_topk(emb, 0, 10).collect())
+
+    total = round(sum(timings.values()), 3)
+    turns_per_sec = round(n_turns / timings["moderation_pipeline"], 1)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "moderation_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

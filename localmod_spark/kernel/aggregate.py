@@ -1,0 +1,336 @@
+"""Pipeline aggregation: fuse all classifiers per text, vectorized per batch.
+
+Reproduces the reference orchestrator's aggregation semantics
+(`src/localmod/pipeline.py`):
+
+  * classifier execution order = registry insertion order
+    ``toxicity, pii, prompt_injection, spam, nsfw``
+    (`src/localmod/classifiers/__init__.py:29-35`, `pipeline.py:58`);
+  * ``flagged = any(r.flagged)`` (`pipeline.py:128`) → ``keep = NOT flagged``;
+  * ``severity = max`` by enum position (`pipeline.py:129`);
+  * summary string format (`pipeline.py:157-171`).
+
+Two entry points with identical semantics (asserted equal in tests):
+
+  * :func:`analyze_text`  — one text → one result dict (the pytest oracle);
+  * :func:`analyze_frame` — a pandas Series of texts → a pandas DataFrame,
+    with the pattern layers vectorized via pandas str ops (which use
+    CPython ``re``, preserving regex semantics).  This is the inner loop
+    of the Spark ``mapInPandas`` stage.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import pandas as pd
+
+# pandas warns that str.contains patterns with groups "may" want extract;
+# we only use truthiness, matching the reference's findall-truthiness.
+warnings.filterwarnings(
+    "ignore", message="This pattern is interpreted as a regular expression"
+)
+
+from localmod_spark.kernel import injection as inj_mod
+from localmod_spark.kernel import nsfw as nsfw_mod
+from localmod_spark.kernel import spam as spam_mod
+from localmod_spark.kernel import toxicity as tox_mod
+from localmod_spark.kernel.injection import injection_result
+from localmod_spark.kernel.langid import detect_language
+from localmod_spark.kernel.nsfw import nsfw_result
+from localmod_spark.kernel.pii import pii_result, pii_scrub
+from localmod_spark.kernel.quality import quality_flagged, quality_score, quality_stats
+from localmod_spark.kernel.spam import spam_result
+from localmod_spark.kernel.toxicity import toxicity_result
+from localmod_spark.kernel.types import NONE, SEVERITY_RANK, KernelResult, max_severity
+
+
+class PipelineConfig(NamedTuple):
+    """Thresholds for the verified deterministic configuration (SURVEY §7.4):
+    pattern-only spam/injection thresholds follow the reference's own
+    deterministic test setup (`tests/test_classifiers/test_spam.py:14`,
+    `tests/test_classifiers/test_prompt_injection.py:14`)."""
+
+    toxicity_threshold: float = tox_mod.DEFAULT_THRESHOLD
+    spam_threshold: float = spam_mod.DEFAULT_THRESHOLD
+    injection_threshold: float = inj_mod.DEFAULT_THRESHOLD
+    nsfw_threshold: float = nsfw_mod.DEFAULT_THRESHOLD
+
+
+DEFAULT_CONFIG = PipelineConfig()
+
+# Registry order (`src/localmod/classifiers/__init__.py:29-35`).
+CLASSIFIER_ORDER = ("toxicity", "pii", "prompt_injection", "spam", "nsfw")
+
+# Flat output column order of both analyze paths (and the Spark stage).
+OUTPUT_COLUMNS = [
+    "keep", "flagged", "severity", "summary",
+    "scrubbed_text", "redactions", "redaction_count",
+    "tox_flagged", "tox_conf",
+    "pii_flagged", "pii_conf",
+    "inj_flagged", "inj_conf",
+    "spam_flagged", "spam_conf",
+    "nsfw_flagged", "nsfw_conf",
+    "categories",
+    "lang", "lang_conf",
+    "perplexity", "quality_score", "quality_flagged", "n_tokens",
+]
+
+
+def build_summary(results: List[KernelResult]) -> str:
+    """`src/localmod/pipeline.py:157-171` verbatim format."""
+    flagged = [r for r in results if r.flagged]
+    if not flagged:
+        return "Content passed all safety checks."
+    issues = []
+    for r in flagged:
+        issue = f"{r.classifier} ({r.severity})"
+        if r.categories:
+            issue += f": {', '.join(r.categories)}"
+        issues.append(issue)
+    return f"Content flagged for: {'; '.join(issues)}"
+
+
+def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """One turn → one output row (dict keyed by OUTPUT_COLUMNS)."""
+    t = text if text is not None else ""
+    results = [
+        toxicity_result(t, cfg.toxicity_threshold),
+        pii_result(t),
+        injection_result(t, cfg.injection_threshold),
+        spam_result(t, cfg.spam_threshold),
+        nsfw_result(t, cfg.nsfw_threshold),
+    ]
+    tox, pii, inj, spam, nsfw = results
+    flagged = any(r.flagged for r in results)
+    scrubbed, hits = pii_scrub(t)
+    lang, lang_conf = detect_language(t)
+    stats = quality_stats(t)
+    categories: List[str] = []
+    for r in results:
+        for c in r.categories:
+            if c not in categories:
+                categories.append(c)
+    return {
+        "keep": not flagged,
+        "flagged": flagged,
+        "severity": max_severity([r.severity for r in results]),
+        "summary": build_summary(results),
+        "scrubbed_text": scrubbed if text is not None else None,
+        "redactions": [
+            {"type": h.type, "start": h.start, "end": h.end, "replacement": h.label}
+            for h in hits
+        ],
+        "redaction_count": len(hits),
+        "tox_flagged": tox.flagged, "tox_conf": tox.confidence,
+        "pii_flagged": pii.flagged, "pii_conf": pii.confidence,
+        "inj_flagged": inj.flagged, "inj_conf": inj.confidence,
+        "spam_flagged": spam.flagged, "spam_conf": spam.confidence,
+        "nsfw_flagged": nsfw.flagged, "nsfw_conf": nsfw.confidence,
+        "categories": categories,
+        "lang": lang, "lang_conf": lang_conf,
+        "perplexity": stats.perplexity,
+        "quality_score": quality_score(stats),
+        "quality_flagged": quality_flagged(stats),
+        "n_tokens": stats.n_tokens,
+    }
+
+
+def _severity_bands(conf: np.ndarray, flagged: np.ndarray, bands) -> np.ndarray:
+    """Vectorized band lookup: bands = [(upper_bound, name), ...] ascending,
+    final name for >= last bound.  NONE wherever not flagged."""
+    out = np.full(conf.shape, NONE, dtype=object)
+    remaining = flagged.copy()
+    for bound, name in bands[:-1]:
+        m = remaining & (conf < bound)
+        out[m] = name
+        remaining &= ~m
+    out[remaining] = bands[-1][1]
+    return out
+
+
+def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Vectorized batch scoring: one call per Arrow batch on executors.
+
+    Pattern layers (spam/injection/nsfw-keyword) run as pandas ``str``
+    ops — pandas dispatches to CPython ``re``, so match semantics equal the
+    reference's.  PII scan/scrub, toxicity lexicon, langid and quality run
+    as tight per-text loops over the batch (regex-backtracking-bound work
+    that cannot be expressed columnar) — still one Python roundtrip per
+    thousands of rows, never a per-row UDF.
+    """
+    raw = texts
+    s = texts.fillna("").astype(str)
+    n = len(s)
+    idx = s.index
+    blank = s.str.strip() == ""  # blank guard, e.g. `pii.py:73`
+
+    # ---- spam (vectorized patterns + per-text caps ratio) ----
+    spam_score = np.zeros(n)
+    spam_masks = []
+    for name, pattern, weight in spam_mod._COMPILED:
+        m = s.str.contains(pattern, na=False).to_numpy()
+        spam_masks.append((name, m))
+        spam_score += np.where(m, weight, 0.0)
+    caps = np.fromiter(
+        (spam_mod.caps_ratio(t) for t in s.to_numpy()), dtype=float, count=n
+    )
+    caps_mask = caps > 0.5
+    spam_masks.append(("high_caps_ratio", caps_mask))
+    spam_score = np.minimum(spam_score + np.where(caps_mask, 0.15, 0.0), 1.0)
+    spam_score = np.where(blank, 0.0, spam_score)
+    spam_flag = (spam_score >= cfg.spam_threshold) & ~blank
+
+    # ---- prompt injection (vectorized category masks) ----
+    inj_cat_masks = []
+    for cat, patterns in inj_mod._COMPILED:
+        m = np.zeros(n, dtype=bool)
+        for p in patterns:
+            m |= s.str.contains(p, na=False).to_numpy()
+        inj_cat_masks.append((cat, m))
+    inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
+    inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
+    inj_score = np.where(blank, 0.0, inj_score)
+    inj_flag = (inj_score >= cfg.injection_threshold) & ~blank
+    inj_critical = np.zeros(n, dtype=bool)
+    for cat, m in inj_cat_masks:
+        if cat in inj_mod._CRITICAL_CATEGORIES:
+            inj_critical |= m
+
+    # ---- nsfw (vectorized keyword/safe layers + surrogate prob) ----
+    lowered = s.str.lower()
+    explicit = np.zeros(n, dtype=bool)
+    for kw in nsfw_mod.EXPLICIT_KEYWORDS:
+        explicit |= lowered.str.contains(kw, regex=False, na=False).to_numpy()
+    suggestive = np.zeros(n, dtype=bool)
+    for term in nsfw_mod._SUGGESTIVE_TERMS:
+        suggestive |= lowered.str.contains(term, regex=False, na=False).to_numpy()
+    safe_hit = np.zeros(n, dtype=bool)
+    for p in nsfw_mod._SAFE_COMPILED:
+        safe_hit |= s.str.contains(p, na=False).to_numpy()
+    safe = safe_hit & ~explicit  # `nsfw.py:82-87`
+    nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
+    nsfw_prob = np.where(  # `nsfw.py:127-129`
+        safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
+    )
+    nsfw_prob = np.where(blank, 0.0, nsfw_prob)
+    nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank
+
+    # ---- per-text loops: toxicity lexicon, pii scan/scrub, langid, quality ----
+    tox_prob = np.fromiter(
+        (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
+        dtype=float, count=n,
+    )
+    tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank
+
+    scrubbed: List[Optional[str]] = []
+    redactions: List[list] = []
+    pii_sev: List[str] = []
+    pii_cats: List[list] = []
+    langs: List[str] = []
+    lang_confs: List[float] = []
+    ppl: List[float] = []
+    qscore: List[float] = []
+    qflag: List[bool] = []
+    ntok: List[int] = []
+    raw_arr = raw.to_numpy()
+    for i, t in enumerate(s.to_numpy()):
+        if blank.iloc[i]:
+            scrub, hits = (t, [])
+        else:
+            scrub, hits = pii_scrub(t)
+        scrubbed.append(scrub if raw_arr[i] is not None and not pd.isna(raw_arr[i]) else None)
+        redactions.append(
+            [{"type": h.type, "start": h.start, "end": h.end, "replacement": h.label} for h in hits]
+        )
+        r = pii_result(t)
+        pii_sev.append(r.severity)
+        pii_cats.append(list(r.categories))
+        lg, lc = detect_language(t)
+        langs.append(lg)
+        lang_confs.append(lc)
+        st = quality_stats(t)
+        ppl.append(st.perplexity)
+        qscore.append(quality_score(st))
+        qflag.append(quality_flagged(st))
+        ntok.append(st.n_tokens)
+    pii_flag = np.array([len(r) > 0 for r in redactions]) & ~blank.to_numpy()
+    pii_conf = np.where(pii_flag, 1.0, 0.0)
+
+    # ---- severities (vectorized bands, same cut points as kernel modules) ----
+    tox_sev = _severity_bands(
+        tox_prob, tox_flag, [(0.4, "low"), (0.6, "medium"), (0.8, "high"), (None, "critical")]
+    )
+    spam_sev = _severity_bands(
+        spam_score, spam_flag, [(0.6, "low"), (0.75, "medium"), (None, "high")]
+    )
+    nsfw_sev = _severity_bands(
+        nsfw_prob, nsfw_flag,
+        [(0.6, "low"), (0.75, "medium"), (0.9, "high"), (None, "critical")],
+    )
+    # injection bands <0.5 low / <0.7 medium / <0.85 high / else critical,
+    # with the critical-category override (`prompt_injection.py:186-203`)
+    inj_sev = _severity_bands(
+        inj_score, inj_flag & ~inj_critical,
+        [(0.5, "low"), (0.7, "medium"), (0.85, "high"), (None, "critical")],
+    )
+    inj_sev = np.where(inj_flag & inj_critical, "critical", inj_sev)
+
+    flagged = tox_flag | pii_flag | inj_flag | spam_flag | nsfw_flag
+
+    # ---- per-row assembly of ordered fields (cheap Python, no regex) ----
+    severities = np.stack([tox_sev, np.array(pii_sev, dtype=object), inj_sev, spam_sev, nsfw_sev])
+    rank = np.vectorize(SEVERITY_RANK.get)(severities.astype(str))
+    overall_sev = severities[rank.argmax(axis=0), np.arange(n)]
+
+    summaries: List[str] = []
+    categories: List[list] = []
+    spam_cat_names = [name for name, _ in spam_masks]
+    inj_cat_names = [cat for cat, _ in inj_cat_masks]
+    for i in range(n):
+        results = []
+        if tox_flag[i]:
+            results.append(KernelResult("toxicity", True, tox_prob[i], str(tox_sev[i]), ("general_toxicity",)))
+        if pii_flag[i]:
+            results.append(KernelResult("pii", True, 1.0, pii_sev[i], tuple(pii_cats[i])))
+        if inj_flag[i]:
+            cats = tuple(c for c, m in inj_cat_masks if m[i])
+            results.append(KernelResult("prompt_injection", True, inj_score[i], str(inj_sev[i]), cats))
+        if spam_flag[i]:
+            cats = tuple(c for c, m in spam_masks if m[i])
+            results.append(KernelResult("spam", True, spam_score[i], str(spam_sev[i]), cats))
+        if nsfw_flag[i]:
+            results.append(KernelResult("nsfw", True, nsfw_prob[i], str(nsfw_sev[i]), ("sexual_content",)))
+        summaries.append(build_summary(results))
+        row_cats: List[str] = []
+        for r in results:
+            for c in r.categories:
+                if c not in row_cats:
+                    row_cats.append(c)
+        categories.append(row_cats)
+
+    return pd.DataFrame(
+        {
+            "keep": ~flagged,
+            "flagged": flagged,
+            "severity": overall_sev.astype(str),
+            "summary": summaries,
+            "scrubbed_text": scrubbed,
+            "redactions": redactions,
+            "redaction_count": [len(r) for r in redactions],
+            "tox_flagged": tox_flag, "tox_conf": tox_prob,
+            "pii_flagged": pii_flag, "pii_conf": pii_conf,
+            "inj_flagged": inj_flag, "inj_conf": inj_score,
+            "spam_flagged": spam_flag, "spam_conf": spam_score,
+            "nsfw_flagged": nsfw_flag, "nsfw_conf": nsfw_prob,
+            "categories": categories,
+            "lang": langs, "lang_conf": lang_confs,
+            "perplexity": ppl,
+            "quality_score": qscore,
+            "quality_flagged": qflag,
+            "n_tokens": ntok,
+        },
+        index=idx,
+    )[OUTPUT_COLUMNS]

@@ -1,0 +1,157 @@
+"""Quality scoring: KenLM-style character-bigram perplexity + heuristics.
+
+North-rule addition (no reference counterpart): a deterministic,
+self-contained quality filter in the style of large-corpus pipelines
+(C4/Gopher-type rules + an n-gram LM perplexity signal).
+
+The LM is a character-bigram model over a 28-symbol alphabet
+(a–z, space, OTHER) trained at import time on a small seed corpus
+embedded below, with add-one smoothing — no downloads, no files,
+bit-identical across processes.  Perplexity is exp of the average
+negative log2... (natural log) per-transition surprisal.
+
+Heuristic stats follow the published Gopher rules (Rae et al. 2021,
+arXiv:2112.11446 §A1.1): word count, mean word length, symbol ratios,
+and repetition (top-token / duplicate-bigram fractions).
+
+Decision policy: ``quality_flagged`` is deliberately conservative and is
+NOT part of the default keep/drop aggregate (the parity gate is vs the
+reference pipeline, which has no quality classifier); it is emitted as its
+own column so a corpus builder can filter on it explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import NamedTuple
+
+# ~1.5 kB of ordinary English prose (written for this module) used purely
+# as bigram-statistics seed material.
+_SEED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog while the sun sets behind "
+    "the hills and the river keeps moving toward the sea people gather in "
+    "the town square to talk about the harvest and the weather and the news "
+    "from distant places a good sentence carries its meaning with simple "
+    "words placed in a natural order readers understand text that flows the "
+    "way speech flows with subjects and verbs and objects arriving when "
+    "expected every language has its own rhythm but english leans on word "
+    "order more than most the cat sat on the mat and the child read a book "
+    "by the window as rain fell softly on the roof science and art both "
+    "begin with careful attention to the world we measure we compare we "
+    "describe and then we explain the history of writing is the history of "
+    "people trying to hold a thought still long enough to share it markets "
+    "open in the morning and close in the evening and between those hours "
+    "a thousand small decisions move goods from one hand to another "
+    "questions deserve clear answers and clear answers come from clear "
+    "thinking practice improves almost every skill from cooking to coding "
+    "to playing the piano and patience is the quiet engine of practice"
+)
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # index 27 = OTHER
+_N_SYMBOLS = 28
+
+
+def _char_index(c: str) -> int:
+    i = _ALPHABET.find(c)
+    return i if i >= 0 else 27
+
+
+def _build_logprob_table():
+    counts = [[1.0] * _N_SYMBOLS for _ in range(_N_SYMBOLS)]  # add-one
+    prev = _char_index(_SEED_CORPUS[0])
+    for c in _SEED_CORPUS[1:]:
+        cur = _char_index(c)
+        counts[prev][cur] += 1.0
+        prev = cur
+    table = []
+    for row in counts:
+        total = sum(row)
+        table.append([math.log(v / total) for v in row])
+    return table
+
+
+_LOGPROB = _build_logprob_table()
+
+_WS_RE = re.compile(r"\s+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_SYMBOL_RE = re.compile(r"[#…]|\.\.\.")
+
+
+def char_perplexity(text: str) -> float:
+    """Bigram perplexity of the lowercased text; 0.0 for texts shorter
+    than one transition.  Deterministic; higher = less English-like."""
+    lowered = text.lower()
+    if len(lowered) < 2:
+        return 0.0
+    total = 0.0
+    prev = _char_index(lowered[0])
+    n = 0
+    for c in lowered[1:]:
+        cur = _char_index(c)
+        total += _LOGPROB[prev][cur]
+        prev = cur
+        n += 1
+    return math.exp(-total / n)
+
+
+class QualityStats(NamedTuple):
+    n_tokens: int
+    mean_word_len: float
+    alpha_ratio: float       # alphabetic chars / chars
+    symbol_word_ratio: float  # '#'/ellipsis per word (Gopher rule)
+    top_token_frac: float    # share of the most frequent token
+    dup_bigram_frac: float   # share of duplicate word-bigrams
+    perplexity: float
+
+
+def quality_stats(text: str) -> QualityStats:
+    tokens = [t for t in _WS_RE.split(text.strip()) if t]
+    n = len(tokens)
+    n_chars = len(text)
+    if n == 0:
+        return QualityStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    mean_len = sum(len(t) for t in tokens) / n
+    alpha = len(_ALPHA_RE.findall(text)) / max(n_chars, 1)
+    symbols = len(_SYMBOL_RE.findall(text)) / n
+    freq: dict = {}
+    for t in tokens:
+        freq[t] = freq.get(t, 0) + 1
+    top = max(freq.values()) / n
+    if n >= 2:
+        bigrams = list(zip(tokens, tokens[1:]))
+        dup = 1.0 - len(set(bigrams)) / len(bigrams)
+    else:
+        dup = 0.0
+    return QualityStats(n, mean_len, alpha, symbols, top, dup, char_perplexity(text))
+
+
+# Conservative gates: only degenerate text trips the flag.
+MAX_MEAN_WORD_LEN = 30.0
+MIN_ALPHA_RATIO = 0.05   # (only applied when n_tokens >= 20)
+MAX_PERPLEXITY = 26.0    # uniform-random 28-symbol text scores ~= 28
+
+
+def quality_score(stats: QualityStats) -> float:
+    """Composite in [0, 1]; 1 = clean prose.  Deterministic arithmetic."""
+    if stats.n_tokens == 0:
+        return 1.0  # blank turns are the blank-guard's business, not ours
+    penalty = 0.0
+    penalty += min(max(stats.perplexity - 18.0, 0.0) / 10.0, 0.4)
+    penalty += min(stats.dup_bigram_frac * 0.3, 0.3)
+    penalty += min(max(stats.mean_word_len - 12.0, 0.0) / 30.0, 0.2)
+    if stats.n_tokens >= 20:
+        penalty += min(max(MIN_ALPHA_RATIO - stats.alpha_ratio, 0.0) * 4.0, 0.1)
+    return max(0.0, round(1.0 - penalty, 6))
+
+
+def quality_flagged(stats: QualityStats) -> bool:
+    if stats.n_tokens == 0:
+        return False
+    if stats.mean_word_len > MAX_MEAN_WORD_LEN:
+        return True
+    if stats.n_tokens >= 20 and stats.alpha_ratio < MIN_ALPHA_RATIO:
+        return True
+    if stats.perplexity > MAX_PERPLEXITY and stats.n_tokens >= 5:
+        return True
+    return False

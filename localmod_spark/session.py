@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for the moderation pipeline's shape: a scan → narrow pandas-UDF map
+→ (optional) conv-level aggregate → write.  The knobs that matter:
+
+  * Arrow enabled + large-ish Arrow batches: the scoring UDF amortizes its
+    Python roundtrip over thousands of turns per batch;
+  * AQE on (post-shuffle coalescing + skew-join splitting for the
+    conversation-context joins);
+  * shuffle partitions sized for the local test harness; a real cluster
+    run overrides via spark-submit conf (see plans/submit_job.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "localmod_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 4096,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

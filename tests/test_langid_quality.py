@@ -1,0 +1,73 @@
+"""Language-ID and quality-scoring kernels (north-rule additions)."""
+
+from localmod_spark.kernel.langid import detect_language
+from localmod_spark.kernel.quality import (
+    char_perplexity,
+    quality_flagged,
+    quality_score,
+    quality_stats,
+)
+
+
+def test_script_detection():
+    assert detect_language("这是一个中文句子，有足够的字符。")[0] == "zh"
+    assert detect_language("Это русское предложение для теста.")[0] == "ru"
+    assert detect_language("هذه جملة عربية للاختبار والتقييم")[0] == "ar"
+    assert detect_language("これは日本語の文です。")[0] == "ja"
+    assert detect_language("한국어 문장입니다 테스트")[0] == "ko"
+
+
+def test_latin_profiles():
+    assert detect_language("the cat sat on the mat and it was happy there")[0] == "en"
+    assert detect_language("el perro corre por la calle y no se detiene porque está feliz")[0] == "es"
+    assert detect_language("der Hund läuft über die Straße und die Kinder spielen im Park")[0] == "de"
+    assert detect_language("le chien court dans la rue et les enfants jouent dans le parc")[0] == "fr"
+
+
+def test_unknown_cases():
+    assert detect_language("")[0] == "und"
+    assert detect_language("12345 67890 %%%")[0] == "und"
+
+
+def test_confidence_bounds():
+    for t in ["the the the", "xyzzy plugh", "这是中文"]:
+        lang, conf = detect_language(t)
+        assert 0.0 <= conf <= 1.0
+
+
+def test_perplexity_orders_text_quality():
+    prose = char_perplexity("the quick brown fox jumps over the lazy dog")
+    gibberish = char_perplexity("zqxj wvkq zzzz qqqq xjxj kvkv")
+    assert prose < gibberish
+    assert char_perplexity("") == 0.0
+    assert char_perplexity("a") == 0.0
+
+
+def test_quality_stats_counts():
+    s = quality_stats("hello world hello world")
+    assert s.n_tokens == 4
+    assert s.top_token_frac == 0.5
+    assert s.dup_bigram_frac > 0.0  # "hello world" bigram repeats
+
+
+def test_quality_conservative_on_fixtures():
+    # ordinary fixture prose must not trip the quality flag
+    for t in [
+        "Hello, how are you today?",
+        "The weather is nice outside.",
+        "Hello world. " * 1000,
+        "",
+    ]:
+        assert not quality_flagged(quality_stats(t)), t
+
+
+def test_quality_flags_degenerate():
+    assert quality_flagged(quality_stats("a" * 500))  # one 500-char word
+    assert quality_flagged(
+        quality_stats("zzqqxxjj " * 30)  # high perplexity, many tokens
+    )
+
+
+def test_quality_score_bounds():
+    for t in ["nice text here", "zzz qqq xxx", "", "a" * 100]:
+        assert 0.0 <= quality_score(quality_stats(t)) <= 1.0
