@@ -284,6 +284,119 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical partial-aggregatable
+    groupBy — map-side combine shrinks the shuffle to one row per
+    (partition, flag, status)."""
+    from localmod_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join lineitem ⋈ orders ⋈ customer ⋈ nation: the small dims are
+    broadcast (explicit hint; AQE would pick it too), so only the fact
+    table's (orderkey, revenue) pairs shuffle."""
+    from localmod_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: letter runs, digit runs, single
+    punctuation — a regex whose semantics agree between Java regex and
+    RE2/DuckDB."""
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _q_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input validation columns (reference F1/F4 semantics)."""
+    from localmod_spark.operators.validate import with_validity
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = with_validity(docs.withColumnRenamed("text", "text"), max_len=400)
+    return v.select("doc_id", "valid", "invalid_reason")
+
+
+def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A5 metrics operator, cross-checked against DuckDB by using a
+    SQL-expressible pred/label pair (stopword-poor docs vs short docs)."""
+    from localmod_spark.operators.evaluate import classification_metrics
+    from localmod_spark.operators.textstats import stopword_ratio_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        (stopword_ratio_col("text") < 0.05).alias("pred"),
+        (F.col("n_chars") < 250).alias("label"),
+    )
+    return classification_metrics(pairs)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from localmod_spark.operators.similarity import embedding_near_dups
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic binary table → feature extraction
+    (decode stubbed; schema/batching real).  Sized from the sf dir."""
+    from localmod_spark.operators.multimodal import extract_media_features, synth_media
+    from localmod_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    media = synth_media(spark, n_rows=n)
+    feats = extract_media_features(media, dim=16)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy", "n_frames_sampled"
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -306,6 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _shipped(_q_repetition),
         "sessionize": _shipped(_q_sessionize),
         "ann_topk": _shipped(_q_ann_topk),
+        "pricing_summary": _shipped(_q_pricing_summary),
+        "revenue_by_nation": _shipped(_q_revenue_by_nation),
+        "bpe_token_count": _shipped(_q_bpe_token_count),
+        "validity": _shipped(_q_validity),
+        "eval_metrics": _shipped(_q_eval_metrics),
+        "embedding_dups": _shipped(_q_embedding_dups),
         # rows-only (Python-re / sketch semantics; oracle lives in pytest)
         "moderation_pipeline": _shipped(_q_moderation),
         "pii_scrub": _shipped(_q_pii_scrub),
@@ -314,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
         "lsh_topk": _shipped(_q_lsh_topk),
+        "media_features": _shipped(_q_media_features),
     }
 
 
@@ -381,6 +501,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
                        AS session_n
             FROM gaps
+        """,
+
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "validity": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null_text'
+                        WHEN trim(text) = '' THEN 'empty_text'
+                        WHEN length(text) > 400 THEN 'too_long'
+                        ELSE NULL END AS invalid_reason,
+                   (CASE WHEN text IS NULL THEN 'null_text'
+                         WHEN trim(text) = '' THEN 'empty_text'
+                         WHEN length(text) > 400 THEN 'too_long'
+                         ELSE NULL END) IS NULL AS valid
+            FROM documents
+        """,
+        "eval_metrics": f"""
+            WITH pairs AS (
+                SELECT
+                    (CASE WHEN length(trim(lower(text))) = 0 THEN 0.0
+                          ELSE round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                                     x -> list_contains({_STOPLIST_SQL}, x)))
+                                     / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) END
+                     < 0.05) AS pred,
+                    (n_chars < 250) AS label
+                FROM documents
+            ),
+            c AS (
+                SELECT CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                FROM pairs
+            )
+            SELECT tp, fp, fn, tn,
+                   round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+                   round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+                   round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                            + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END) > 0
+                         THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                                * (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)
+                              / ((CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                               + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1,
+                   round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+                   round(((CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)
+                        + (CASE WHEN tn + fp > 0 THEN tn / CAST(tn + fp AS DOUBLE) ELSE 0.0 END)) / 2, 6)
+                       AS balanced_accuracy
+            FROM c
+        """,
+        "embedding_dups": """
+            SELECT id_a, id_b, cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         4) AS cosine
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),

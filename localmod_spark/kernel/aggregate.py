@@ -51,12 +51,18 @@ class PipelineConfig(NamedTuple):
     """Thresholds for the verified deterministic configuration (SURVEY §7.4):
     pattern-only spam/injection thresholds follow the reference's own
     deterministic test setup (`tests/test_classifiers/test_spam.py:14`,
-    `tests/test_classifiers/test_prompt_injection.py:14`)."""
+    `tests/test_classifiers/test_prompt_injection.py:14`).
+
+    ``classifiers`` selects which classifiers run (reference F3: the
+    analyze API's classifier subset, `src/localmod/pipeline.py:102-103`);
+    a disabled classifier contributes flagged=False / confidence 0.0 /
+    severity none, exactly like an unselected one in the reference."""
 
     toxicity_threshold: float = tox_mod.DEFAULT_THRESHOLD
     spam_threshold: float = spam_mod.DEFAULT_THRESHOLD
     injection_threshold: float = inj_mod.DEFAULT_THRESHOLD
     nsfw_threshold: float = nsfw_mod.DEFAULT_THRESHOLD
+    classifiers: tuple = ("toxicity", "pii", "prompt_injection", "spam", "nsfw")
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -96,16 +102,22 @@ def build_summary(results: List[KernelResult]) -> str:
 def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     """One turn → one output row (dict keyed by OUTPUT_COLUMNS)."""
     t = text if text is not None else ""
-    results = [
-        toxicity_result(t, cfg.toxicity_threshold),
-        pii_result(t),
-        injection_result(t, cfg.injection_threshold),
-        spam_result(t, cfg.spam_threshold),
-        nsfw_result(t, cfg.nsfw_threshold),
-    ]
-    tox, pii, inj, spam, nsfw = results
+    enabled = set(cfg.classifiers)
+    blank = KernelResult  # alias for brevity below
+
+    def off(name: str) -> KernelResult:
+        return blank(name, False, 0.0, NONE, ())
+
+    tox = toxicity_result(t, cfg.toxicity_threshold) if "toxicity" in enabled else off("toxicity")
+    pii = pii_result(t) if "pii" in enabled else off("pii")
+    inj = injection_result(t, cfg.injection_threshold) if "prompt_injection" in enabled else off("prompt_injection")
+    spam = spam_result(t, cfg.spam_threshold) if "spam" in enabled else off("spam")
+    nsfw = nsfw_result(t, cfg.nsfw_threshold) if "nsfw" in enabled else off("nsfw")
+    # aggregation runs over the SELECTED classifiers only, in registry
+    # order (`src/localmod/pipeline.py:102-129`)
+    results = [r for r in (tox, pii, inj, spam, nsfw) if r.classifier in enabled]
     flagged = any(r.flagged for r in results)
-    scrubbed, hits = pii_scrub(t)
+    scrubbed, hits = pii_scrub(t) if "pii" in enabled else (t, [])
     lang, lang_conf = detect_language(t)
     stats = quality_stats(t)
     categories: List[str] = []
@@ -116,7 +128,7 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     return {
         "keep": not flagged,
         "flagged": flagged,
-        "severity": max_severity([r.severity for r in results]),
+        "severity": max_severity([r.severity for r in results] or [NONE]),
         "summary": build_summary(results),
         "scrubbed_text": scrubbed if text is not None else None,
         "redactions": [
@@ -166,64 +178,73 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     n = len(s)
     idx = s.index
     blank = s.str.strip() == ""  # blank guard, e.g. `pii.py:73`
+    enabled = set(cfg.classifiers)
 
     # ---- spam (vectorized patterns + per-text caps ratio) ----
     spam_score = np.zeros(n)
     spam_masks = []
-    for name, pattern, weight in spam_mod._COMPILED:
-        m = s.str.contains(pattern, na=False).to_numpy()
-        spam_masks.append((name, m))
-        spam_score += np.where(m, weight, 0.0)
-    caps = np.fromiter(
-        (spam_mod.caps_ratio(t) for t in s.to_numpy()), dtype=float, count=n
-    )
-    caps_mask = caps > 0.5
-    spam_masks.append(("high_caps_ratio", caps_mask))
-    spam_score = np.minimum(spam_score + np.where(caps_mask, 0.15, 0.0), 1.0)
-    spam_score = np.where(blank, 0.0, spam_score)
-    spam_flag = (spam_score >= cfg.spam_threshold) & ~blank
+    if "spam" in enabled:
+        for name, pattern, weight in spam_mod._COMPILED:
+            m = s.str.contains(pattern, na=False).to_numpy()
+            spam_masks.append((name, m))
+            spam_score += np.where(m, weight, 0.0)
+        caps = np.fromiter(
+            (spam_mod.caps_ratio(t) for t in s.to_numpy()), dtype=float, count=n
+        )
+        caps_mask = caps > 0.5
+        spam_masks.append(("high_caps_ratio", caps_mask))
+        spam_score = np.minimum(spam_score + np.where(caps_mask, 0.15, 0.0), 1.0)
+        spam_score = np.where(blank, 0.0, spam_score)
+    spam_flag = (spam_score >= cfg.spam_threshold) & ~blank.to_numpy() & ("spam" in enabled)
 
     # ---- prompt injection (vectorized category masks) ----
     inj_cat_masks = []
-    for cat, patterns in inj_mod._COMPILED:
-        m = np.zeros(n, dtype=bool)
-        for p in patterns:
-            m |= s.str.contains(p, na=False).to_numpy()
-        inj_cat_masks.append((cat, m))
-    inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
-    inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
-    inj_score = np.where(blank, 0.0, inj_score)
-    inj_flag = (inj_score >= cfg.injection_threshold) & ~blank
+    inj_score = np.zeros(n)
     inj_critical = np.zeros(n, dtype=bool)
-    for cat, m in inj_cat_masks:
-        if cat in inj_mod._CRITICAL_CATEGORIES:
-            inj_critical |= m
+    if "prompt_injection" in enabled:
+        for cat, patterns in inj_mod._COMPILED:
+            m = np.zeros(n, dtype=bool)
+            for p in patterns:
+                m |= s.str.contains(p, na=False).to_numpy()
+            inj_cat_masks.append((cat, m))
+        inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
+        inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
+        inj_score = np.where(blank, 0.0, inj_score)
+        for cat, m in inj_cat_masks:
+            if cat in inj_mod._CRITICAL_CATEGORIES:
+                inj_critical |= m
+    inj_flag = (inj_score >= cfg.injection_threshold) & ~blank.to_numpy() & ("prompt_injection" in enabled)
 
     # ---- nsfw (vectorized keyword/safe layers + surrogate prob) ----
-    lowered = s.str.lower()
-    explicit = np.zeros(n, dtype=bool)
-    for kw in nsfw_mod.EXPLICIT_KEYWORDS:
-        explicit |= lowered.str.contains(kw, regex=False, na=False).to_numpy()
-    suggestive = np.zeros(n, dtype=bool)
-    for term in nsfw_mod._SUGGESTIVE_TERMS:
-        suggestive |= lowered.str.contains(term, regex=False, na=False).to_numpy()
-    safe_hit = np.zeros(n, dtype=bool)
-    for p in nsfw_mod._SAFE_COMPILED:
-        safe_hit |= s.str.contains(p, na=False).to_numpy()
-    safe = safe_hit & ~explicit  # `nsfw.py:82-87`
-    nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
-    nsfw_prob = np.where(  # `nsfw.py:127-129`
-        safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
-    )
-    nsfw_prob = np.where(blank, 0.0, nsfw_prob)
-    nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank
+    nsfw_prob = np.zeros(n)
+    if "nsfw" in enabled:
+        lowered = s.str.lower()
+        explicit = np.zeros(n, dtype=bool)
+        for kw in nsfw_mod.EXPLICIT_KEYWORDS:
+            explicit |= lowered.str.contains(kw, regex=False, na=False).to_numpy()
+        suggestive = np.zeros(n, dtype=bool)
+        for term in nsfw_mod._SUGGESTIVE_TERMS:
+            suggestive |= lowered.str.contains(term, regex=False, na=False).to_numpy()
+        safe_hit = np.zeros(n, dtype=bool)
+        for p in nsfw_mod._SAFE_COMPILED:
+            safe_hit |= s.str.contains(p, na=False).to_numpy()
+        safe = safe_hit & ~explicit  # `nsfw.py:82-87`
+        nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
+        nsfw_prob = np.where(  # `nsfw.py:127-129`
+            safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
+        )
+        nsfw_prob = np.where(blank, 0.0, nsfw_prob)
+    nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank.to_numpy() & ("nsfw" in enabled)
 
     # ---- per-text loops: toxicity lexicon, pii scan/scrub, langid, quality ----
-    tox_prob = np.fromiter(
-        (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
-        dtype=float, count=n,
-    )
-    tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank
+    if "toxicity" in enabled:
+        tox_prob = np.fromiter(
+            (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
+            dtype=float, count=n,
+        )
+    else:
+        tox_prob = np.zeros(n)
+    tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank.to_numpy() & ("toxicity" in enabled)
 
     scrubbed: List[Optional[str]] = []
     redactions: List[list] = []
@@ -236,8 +257,9 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     qflag: List[bool] = []
     ntok: List[int] = []
     raw_arr = raw.to_numpy()
+    pii_on = "pii" in enabled
     for i, t in enumerate(s.to_numpy()):
-        if blank.iloc[i]:
+        if blank.iloc[i] or not pii_on:
             scrub, hits = (t, [])
         else:
             scrub, hits = pii_scrub(t)
@@ -245,9 +267,13 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         redactions.append(
             [{"type": h.type, "start": h.start, "end": h.end, "replacement": h.label} for h in hits]
         )
-        r = pii_result(t)
-        pii_sev.append(r.severity)
-        pii_cats.append(list(r.categories))
+        if pii_on:
+            r = pii_result(t)
+            pii_sev.append(r.severity)
+            pii_cats.append(list(r.categories))
+        else:
+            pii_sev.append(NONE)
+            pii_cats.append([])
         lg, lc = detect_language(t)
         langs.append(lg)
         lang_confs.append(lc)
@@ -256,7 +282,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         qscore.append(quality_score(st))
         qflag.append(quality_flagged(st))
         ntok.append(st.n_tokens)
-    pii_flag = np.array([len(r) > 0 for r in redactions]) & ~blank.to_numpy()
+    pii_flag = np.array([len(r) > 0 for r in redactions]) & ~blank.to_numpy() & pii_on
     pii_conf = np.where(pii_flag, 1.0, 0.0)
 
     # ---- severities (vectorized bands, same cut points as kernel modules) ----

@@ -1,0 +1,160 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference has an image-NSFW classifier (`src/localmod/classifiers/
+nsfw_image.py`) that the text pipeline doesn't use (SURVEY §7.5); a
+training-data pipeline still needs the *plumbing* for image/audio/video
+columns at 100 TB.  This module makes that plumbing real — schema,
+deterministic synthesis, partition-friendly batching, mapInPandas UDF
+signatures and batch shapes — while the actual codec work is stubbed
+(PIL/ffmpeg/torchvision are not in this container):
+
+  * ``decode="fake"`` (default): a deterministic stand-in decoder —
+    byte-statistics features, so tests can assert exact values;
+  * ``decode="real"``: raises NotImplementedError at the decode call
+    site, marking exactly where PIL/torchvision slot in.
+
+Scale notes: binary payloads dominate row size, so the stage keeps Arrow
+batches small (`media_batch_rows`), never shuffles payload bytes (feature
+extraction is a narrow map; only the small feature vectors continue), and
+frame-sampling happens *inside* the UDF so sampled-out bytes never cross
+the JVM↔Python boundary again.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("conv_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+_KINDS = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+
+
+def synth_media(spark: SparkSession, n_rows: int, seed: int = 42, payload_bytes: int = 2048) -> DataFrame:
+    """Deterministic opaque-binary media table (closed-form, distributed).
+
+    Payload = a seeded byte pattern derived from the row id — not a real
+    codec stream, but stable and unique per row, which is all the
+    plumbing tests need."""
+    i = F.col("id")
+    kind_ix = (i % 3).cast("int")
+    kinds = F.array(*[F.lit(k) for k, _ in _KINDS])
+    mimes = F.array(*[F.lit(m) for _, m in _KINDS])
+    # deterministic pseudo-payload: repeat the row's hash bytes
+    h = F.abs(F.xxhash64(i, F.lit(seed)))
+    payload = F.repeat(F.unhex(F.lpad(F.hex(h), 16, "0")), payload_bytes // 8).cast("binary")
+    return (
+        spark.range(n_rows)
+        .select(
+            i.alias("media_id"),
+            F.format_string("conv-%08d", (i % 1000).cast("int")).alias("conv_id"),
+            F.element_at(kinds, kind_ix + 1).alias("kind"),
+            F.element_at(mimes, kind_ix + 1).alias("mime"),
+            payload.alias("payload"),
+            F.when(kind_ix == 0, ((h % 640) + 64).cast("int")).alias("width"),
+            F.when(kind_ix == 0, ((h % 480) + 48).cast("int")).alias("height"),
+            F.when(kind_ix != 0, ((h % 60000) + 1000).cast("int")).alias("duration_ms"),
+        )
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("byte_mean", DoubleType(), False),
+        StructField("byte_entropy", DoubleType(), False),
+        StructField("feature", ArrayType(DoubleType()), False),
+        StructField("n_frames_sampled", IntegerType(), False),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode→embed: bucketed byte histogram,
+    L2-normalized.  Replace with PIL/torchvision decode + model forward."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+    norm = np.linalg.norm(hist) or 1.0
+    return hist / norm
+
+
+def extract_media_features(
+    media: DataFrame,
+    dim: int = 16,
+    frame_sample_every_ms: int = 5000,
+    decode: str = "fake",
+    media_batch_rows: int = 256,
+) -> DataFrame:
+    """Narrow mapInPandas: payload bytes → small feature rows.
+
+    Only (media_id, kind, payload, duration_ms) cross into Python; only
+    the feature vector crosses back.  ``frame_sample_every_ms`` models
+    video frame sampling: the number of 'frames' processed is
+    duration/interval, computed inside the UDF.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if decode == "real":
+                    raise NotImplementedError(
+                        "real decode requires PIL/torchvision/ffmpeg — not in this container; "
+                        "plug the codec here (same signature, same output schema)"
+                    )
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                probs = counts[counts > 0] / len(arr)
+                entropy = float(-(probs * np.log2(probs)).sum())
+                if r["kind"] == "video" and r["duration_ms"] is not None:
+                    n_frames = max(int(r["duration_ms"]) // frame_sample_every_ms, 1)
+                else:
+                    n_frames = 1
+                feat = _fake_decode_features(payload, dim)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "n_bytes": len(payload),
+                        "byte_mean": float(arr.mean()),
+                        "byte_entropy": round(entropy, 6),
+                        "feature": feat.tolist(),
+                        "n_frames_sampled": n_frames,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    slim = media.select("media_id", "kind", "payload", "duration_ms")
+    # small Arrow batches: payloads are MBs at production scale
+    slim = slim.repartition(max(media.sparkSession.sparkContext.defaultParallelism, 8))
+    return slim.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -62,6 +62,29 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
+
+    Exact all-pairs variant (self-join, id_a < id_b) — the verification
+    baseline.  At scale, pre-bucket with :func:`with_lsh_bucket` and join
+    on bucket equality first (same output contract, candidates only);
+    see `lsh_topk` for the bucketed probe shape.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def with_lsh_bucket(
     embeddings: DataFrame,
     dim: int,

@@ -1,0 +1,103 @@
+"""spark-submit entry point for the moderation pipeline.
+
+Cluster launch (the north-rule contract):
+
+    zip -r localmod_spark.zip localmod_spark
+    spark-submit --py-files localmod_spark.zip \\
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \\
+        --conf spark.sql.adaptive.enabled=true \\
+        localmod_spark/plans/submit_job.py \\
+        --input  <iceberg table or parquet path> \\
+        --output <output dir> --waves 64 [--no-resume] [--synthetic N]
+
+Local smoke run:
+
+    python localmod_spark/plans/submit_job.py \\
+        --synthetic 50000 --output /tmp/mod_out --waves 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Running as a plain script (`python .../plans/submit_job.py`) puts the
+# script dir on sys.path, not the repo root; under spark-submit --py-files
+# the package comes from the shipped zip instead.
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.path.isdir(os.path.join(_ROOT, "localmod_spark")) and _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="localmod_spark moderation pipeline")
+    p.add_argument("--input", help="input transcripts: parquet path or iceberg table name")
+    p.add_argument("--output", required=True, help="output directory (data/ _lineage/ _metrics/)")
+    p.add_argument("--waves", type=int, default=16, help="resume granularity (hash buckets of conv_id)")
+    p.add_argument("--no-resume", action="store_true", help="ignore the lineage ledger")
+    p.add_argument("--no-context", action="store_true", help="skip conversation-context features")
+    p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic turns instead of --input")
+    p.add_argument("--classifiers", default=None, help="comma list; default all five")
+    args = p.parse_args(argv)
+    if not args.input and not args.synthetic:
+        p.error("one of --input / --synthetic is required")
+
+    from pyspark.sql import SparkSession
+
+    # Under spark-submit the session/master come from the launcher; the
+    # local fallback config only applies when run as a plain script.
+    spark = SparkSession.builder.appName("localmod_spark_pipeline").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    # Executors need the package too when launched without --py-files
+    # (plain-script mode); mirrors __spark_entry__._ship_package.
+    import shutil
+    import tempfile
+
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), f"localmod_spark_job_{os.getpid()}"),
+        "zip", root_dir=_ROOT, base_dir="localmod_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+
+    from localmod_spark.kernel.aggregate import PipelineConfig
+    from localmod_spark.plans.pipeline import run_pipeline
+    from localmod_spark.sources.transcripts import synth_transcripts
+
+    if args.synthetic:
+        turns = synth_transcripts(spark, args.synthetic)
+    elif "/" in args.input:
+        turns = spark.read.parquet(args.input)
+    else:
+        turns = spark.read.table(args.input)  # iceberg catalog table
+
+    cfg = PipelineConfig()
+    if args.classifiers:
+        cfg = cfg._replace(classifiers=tuple(args.classifiers.split(",")))
+
+    res = run_pipeline(
+        spark,
+        turns,
+        args.output,
+        n_waves=args.waves,
+        resume=not args.no_resume,
+        cfg=cfg,
+        context=not args.no_context,
+    )
+    print(
+        json.dumps(
+            {
+                "out_dir": res.out_dir,
+                "waves_run": res.waves_run,
+                "waves_skipped": res.waves_skipped,
+                "rows_written": res.rows_written,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

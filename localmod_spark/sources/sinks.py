@@ -1,0 +1,72 @@
+"""Output sinks (reference S6 + the target's table-out contract).
+
+The reference serializes reports to JSON (`src/localmod/pipeline.py:27-35`,
+`src/localmod/models/base.py:29-38`); the batch engine's equivalents:
+
+  * parquet/Iceberg table writes partitioned by the wave/bucket column
+    (plans/pipeline.py handles the resumable path);
+  * a JSON-lines sink for interop — one ``report`` JSON string per turn,
+    with confidence rounded to 4 decimals as the reference's ``to_dict``
+    does (`models/base.py:33`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_report_json(scored: DataFrame) -> DataFrame:
+    """Append ``report``: the per-turn JSON document (reference
+    AnalyzeResponse shape: flagged, severity, summary, per-classifier
+    confidences rounded to 4, categories)."""
+    results = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("classifier"),
+                F.col(f"{short}_flagged").alias("flagged"),
+                F.round(F.col(f"{short}_conf"), 4).alias("confidence"),
+            )
+            for name, short in [
+                ("toxicity", "tox"),
+                ("pii", "pii"),
+                ("prompt_injection", "inj"),
+                ("spam", "spam"),
+                ("nsfw", "nsfw"),
+            ]
+        ]
+    )
+    return scored.withColumn(
+        "report",
+        F.to_json(
+            F.struct(
+                F.col("flagged"),
+                F.col("severity"),
+                results.alias("results"),
+                F.col("summary"),
+                F.col("categories"),
+            )
+        ),
+    )
+
+
+def write_jsonl(scored: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export of the report documents."""
+    with_report_json(scored).select("conv_id", "turn_idx", "report").write.mode(mode).json(path)
+
+
+def write_table(df: DataFrame, path: str, partition_col: str = None, mode: str = "overwrite") -> None:
+    """Parquet (sandbox) / Iceberg (cluster) table write.  Uses the
+    iceberg format when a catalog is configured on the session, else
+    parquet — the call sites don't change between environments."""
+    spark = df.sparkSession
+    use_iceberg = any(
+        k.startswith("spark.sql.catalog.") for k, _ in spark.sparkContext.getConf().getAll()
+    )
+    writer = df.write.mode(mode)
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    if use_iceberg:
+        writer.format("iceberg").save(path)
+    else:
+        writer.parquet(path)

@@ -1,0 +1,5 @@
+"""Structured-streaming variants of the scoring stage."""
+
+from localmod_spark.streaming.score_stream import conv_flag_counts_stream, score_stream
+
+__all__ = ["score_stream", "conv_flag_counts_stream"]

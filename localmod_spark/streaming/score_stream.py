@@ -1,0 +1,44 @@
+"""Streaming moderation: the same fused scoring stage over readStream.
+
+The reference is batch-only (its only 'stream' is HTTP arrival,
+`src/localmod/api/app.py`), but the scoring stage is stateless per turn,
+so it lifts to Structured Streaming unchanged: readStream → score_turns →
+writeStream.  Watermarked conversation aggregates are provided for
+late-data-tolerant per-conversation flag counts.
+
+Micro-batch semantics: each trigger's batch flows through the identical
+mapInPandas plan used in batch mode — one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from localmod_spark.kernel.aggregate import DEFAULT_CONFIG, PipelineConfig
+from localmod_spark.operators.score import score_turns
+
+
+def score_stream(stream_df: DataFrame, cfg: PipelineConfig = None) -> DataFrame:
+    """Apply the fused scoring stage to a streaming DataFrame of turns.
+    Stateless — supported by every output mode."""
+    return score_turns(stream_df, cfg=cfg or DEFAULT_CONFIG)
+
+
+def conv_flag_counts_stream(
+    scored_stream: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-(conversation, time-window) flag counts — the
+    streaming analog of conv_features.  Late turns beyond the watermark
+    are dropped deterministically; state is bounded by the watermark."""
+    return (
+        scored_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            F.sum(F.col("pii_flagged").cast("long")).alias("n_pii_turns"),
+        )
+    )
