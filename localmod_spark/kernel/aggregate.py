@@ -40,7 +40,7 @@ from localmod_spark.kernel import toxicity as tox_mod
 from localmod_spark.kernel.injection import injection_result
 from localmod_spark.kernel.langid import detect_language
 from localmod_spark.kernel.nsfw import nsfw_result
-from localmod_spark.kernel.pii import pii_result, pii_scrub
+from localmod_spark.kernel.pii import pii_result_from, pii_scrub
 from localmod_spark.kernel.quality import quality_flagged, quality_score, quality_stats
 from localmod_spark.kernel.spam import spam_result
 from localmod_spark.kernel.toxicity import toxicity_result
@@ -109,7 +109,12 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
         return blank(name, False, 0.0, NONE, ())
 
     tox = toxicity_result(t, cfg.toxicity_threshold) if "toxicity" in enabled else off("toxicity")
-    pii = pii_result(t) if "pii" in enabled else off("pii")
+    if "pii" in enabled:
+        scrubbed, hits = pii_scrub(t)  # one regex pass serves scrub AND verdict
+        pii = pii_result_from(t, hits)
+    else:
+        scrubbed, hits = t, []
+        pii = off("pii")
     inj = injection_result(t, cfg.injection_threshold) if "prompt_injection" in enabled else off("prompt_injection")
     spam = spam_result(t, cfg.spam_threshold) if "spam" in enabled else off("spam")
     nsfw = nsfw_result(t, cfg.nsfw_threshold) if "nsfw" in enabled else off("nsfw")
@@ -117,7 +122,6 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     # order (`src/localmod/pipeline.py:102-129`)
     results = [r for r in (tox, pii, inj, spam, nsfw) if r.classifier in enabled]
     flagged = any(r.flagged for r in results)
-    scrubbed, hits = pii_scrub(t) if "pii" in enabled else (t, [])
     lang, lang_conf = detect_language(t)
     stats = quality_stats(t)
     categories: List[str] = []
@@ -202,11 +206,8 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     inj_score = np.zeros(n)
     inj_critical = np.zeros(n, dtype=bool)
     if "prompt_injection" in enabled:
-        for cat, patterns in inj_mod._COMPILED:
-            m = np.zeros(n, dtype=bool)
-            for p in patterns:
-                m |= s.str.contains(p, na=False).to_numpy()
-            inj_cat_masks.append((cat, m))
+        for cat, alt in inj_mod._CAT_ALT:
+            inj_cat_masks.append((cat, s.str.contains(alt, na=False).to_numpy()))
         inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
         inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
         inj_score = np.where(blank, 0.0, inj_score)
@@ -219,15 +220,9 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     nsfw_prob = np.zeros(n)
     if "nsfw" in enabled:
         lowered = s.str.lower()
-        explicit = np.zeros(n, dtype=bool)
-        for kw in nsfw_mod.EXPLICIT_KEYWORDS:
-            explicit |= lowered.str.contains(kw, regex=False, na=False).to_numpy()
-        suggestive = np.zeros(n, dtype=bool)
-        for term in nsfw_mod._SUGGESTIVE_TERMS:
-            suggestive |= lowered.str.contains(term, regex=False, na=False).to_numpy()
-        safe_hit = np.zeros(n, dtype=bool)
-        for p in nsfw_mod._SAFE_COMPILED:
-            safe_hit |= s.str.contains(p, na=False).to_numpy()
+        explicit = lowered.str.contains(nsfw_mod._KEYWORD_ALT, na=False).to_numpy()
+        suggestive = lowered.str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
+        safe_hit = s.str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
         safe = safe_hit & ~explicit  # `nsfw.py:82-87`
         nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
         nsfw_prob = np.where(  # `nsfw.py:127-129`
@@ -268,7 +263,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             [{"type": h.type, "start": h.start, "end": h.end, "replacement": h.label} for h in hits]
         )
         if pii_on:
-            r = pii_result(t)
+            r = pii_result_from(t, hits)  # reuse the scrub pass's scan
             pii_sev.append(r.severity)
             pii_cats.append(list(r.categories))
         else:

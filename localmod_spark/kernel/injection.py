@@ -61,6 +61,13 @@ _INJECTION_SPECS: List[Tuple[str, List[str]]] = [
 _COMPILED = [
     (cat, [re.compile(p, re.IGNORECASE) for p in pats]) for cat, pats in _INJECTION_SPECS
 ]
+# One alternation per category: a single search has the same truthiness
+# as any-of-patterns (`prompt_injection.py:151-167` uses only truthiness
+# for the decision path).
+_CAT_ALT = [
+    (cat, re.compile("|".join(f"(?:{p})" for p in pats), re.IGNORECASE))
+    for cat, pats in _INJECTION_SPECS
+]
 
 DEFAULT_THRESHOLD = 0.2  # pattern-only config, `tests/test_classifiers/test_prompt_injection.py:14`
 
@@ -73,8 +80,8 @@ def injection_categories(text: str) -> List[str]:
     (`src/localmod/classifiers/prompt_injection.py:151-167` — only the
     truthiness of ``findall`` feeds the decision)."""
     matched: List[str] = []
-    for cat, patterns in _COMPILED:
-        if any(p.search(text) is not None for p in patterns):
+    for cat, alt in _CAT_ALT:
+        if alt.search(text) is not None:
             matched.append(cat)
     return matched
 

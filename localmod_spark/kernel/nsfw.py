@@ -38,6 +38,10 @@ _SAFE_OVERRIDE_PATTERNS = [
     r'\b(hello|hi|hey|good morning|good night)\b',
 ]
 _SAFE_COMPILED = [re.compile(p, re.IGNORECASE) for p in _SAFE_OVERRIDE_PATTERNS]
+# Single-alternation forms (sorted for determinism): one C-level search
+# replaces N substring checks; truthiness is identical.
+_KEYWORD_ALT = re.compile("|".join(re.escape(k) for k in sorted(EXPLICIT_KEYWORDS)))
+_SAFE_ALT = re.compile("|".join(f"(?:{p})" for p in _SAFE_OVERRIDE_PATTERNS), re.IGNORECASE)
 
 DEFAULT_THRESHOLD = 0.5  # `src/localmod/config.py:48`
 
@@ -45,12 +49,13 @@ DEFAULT_THRESHOLD = 0.5  # `src/localmod/config.py:48`
 # just over the flag threshold without an explicit keyword, so the
 # safe-override reduction path (`nsfw.py:127-129`) is exercised end-to-end.
 _SUGGESTIVE_TERMS = frozenset({"sensual", "lust", "striptease", "risque", "lewd"})
+_SUGGESTIVE_ALT = re.compile("|".join(re.escape(t) for t in sorted(_SUGGESTIVE_TERMS)))
 
 
 def has_explicit_keyword(text: str) -> bool:
-    """`src/localmod/classifiers/nsfw.py:77-80`."""
-    lowered = text.lower()
-    return any(kw in lowered for kw in EXPLICIT_KEYWORDS)
+    """`src/localmod/classifiers/nsfw.py:77-80` (alternation form —
+    identical truthiness to the reference's any-substring check)."""
+    return _KEYWORD_ALT.search(text.lower()) is not None
 
 
 def is_likely_safe(text: str) -> bool:
@@ -58,7 +63,7 @@ def is_likely_safe(text: str) -> bool:
     (`src/localmod/classifiers/nsfw.py:82-87`)."""
     if has_explicit_keyword(text):
         return False
-    return any(p.search(text) is not None for p in _SAFE_COMPILED)
+    return _SAFE_ALT.search(text) is not None
 
 
 def surrogate_prob(text: str) -> float:
@@ -69,8 +74,7 @@ def surrogate_prob(text: str) -> float:
     """
     if has_explicit_keyword(text):
         return 0.97
-    lowered = text.lower()
-    if any(t in lowered for t in _SUGGESTIVE_TERMS):
+    if _SUGGESTIVE_ALT.search(text.lower()) is not None:
         return 0.55
     return 0.03
 

@@ -46,6 +46,7 @@ _COMPILED: List[Tuple[str, "re.Pattern[str]", str]] = [
 ]
 
 _NON_DIGIT = re.compile(r"\D")
+_ANY_DIGIT = re.compile(r"\d")
 
 
 class PIIHit(NamedTuple):
@@ -99,8 +100,21 @@ def pii_scan(text: str) -> List[PIIHit]:
     insertion order, validation, stable sort by start (ties keep type
     order), then the last-kept-only overlap filter (`pii.py:180-194`).
     """
+    # Prescreen (pure optimization, decision-identical): the email pattern
+    # requires a literal '@'; every other pattern requires at least one
+    # digit.  Texts lacking both cannot match anything.
+    has_at = "@" in text
+    has_digit = _ANY_DIGIT.search(text) is not None
+    if not has_at and not has_digit:
+        return []
+
     hits: List[PIIHit] = []
     for pii_type, pattern, label in _COMPILED:
+        if pii_type == "email":
+            if not has_at:
+                continue
+        elif not has_digit:
+            continue
         validator = _VALIDATORS.get(pii_type)
         for m in pattern.finditer(text):
             if validator is not None and not validator(m.group()):
@@ -148,6 +162,30 @@ def _pii_severity(hits: List[PIIHit]) -> str:
     return LOW
 
 
+def pii_categories_from(hits: List[PIIHit]) -> tuple:
+    """Distinct detected types in first-seen order (see pii_result note)."""
+    seen: List[str] = []
+    for h in hits:
+        if h.type not in seen:
+            seen.append(h.type)
+    return tuple(seen)
+
+
+def pii_result_from(text: str, hits: List[PIIHit]) -> KernelResult:
+    """Verdict from an existing scan — lets callers that already scrubbed
+    (and therefore scanned) avoid a second full regex pass."""
+    if is_blank(text):
+        return KernelResult("pii", False, 0.0, NONE, ())
+    flagged = len(hits) > 0
+    return KernelResult(
+        "pii",
+        flagged,
+        1.0 if flagged else 0.0,
+        _pii_severity(hits),
+        pii_categories_from(hits),
+    )
+
+
 def pii_result(text: str) -> KernelResult:
     """Full PII verdict (`src/localmod/classifiers/pii.py:69-111`):
     flagged iff any hit, confidence 1.0/0.0, categories = distinct types.
@@ -157,18 +195,4 @@ def pii_result(text: str) -> KernelResult:
     the reference either (the summary joins them, but only the *flag* and
     severity gate decisions).  We use first-seen order for determinism.
     """
-    if is_blank(text):
-        return KernelResult("pii", False, 0.0, NONE, ())
-    hits = pii_scan(text)
-    seen: List[str] = []
-    for h in hits:
-        if h.type not in seen:
-            seen.append(h.type)
-    flagged = len(hits) > 0
-    return KernelResult(
-        "pii",
-        flagged,
-        1.0 if flagged else 0.0,
-        _pii_severity(hits),
-        tuple(seen),
-    )
+    return pii_result_from(text, [] if is_blank(text) else pii_scan(text))

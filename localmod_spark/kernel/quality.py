@@ -51,27 +51,28 @@ _SEED_CORPUS = (
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz "  # index 27 = OTHER
 _N_SYMBOLS = 28
 
+import numpy as np  # noqa: E402
 
-def _char_index(c: str) -> int:
-    i = _ALPHABET.find(c)
-    return i if i >= 0 else 27
+# byte → symbol index; every byte outside [a-z ] (including each byte of a
+# multi-byte UTF-8 char) maps to OTHER.
+_BYTE_TO_SYM = np.full(256, 27, dtype=np.int64)
+for _i, _c in enumerate(_ALPHABET):
+    _BYTE_TO_SYM[ord(_c)] = _i
 
 
-def _build_logprob_table():
-    counts = [[1.0] * _N_SYMBOLS for _ in range(_N_SYMBOLS)]  # add-one
-    prev = _char_index(_SEED_CORPUS[0])
-    for c in _SEED_CORPUS[1:]:
-        cur = _char_index(c)
-        counts[prev][cur] += 1.0
-        prev = cur
-    table = []
-    for row in counts:
-        total = sum(row)
-        table.append([math.log(v / total) for v in row])
-    return table
+def _sym_indices(text: str) -> np.ndarray:
+    return _BYTE_TO_SYM[np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)]
+
+
+def _build_logprob_table() -> np.ndarray:
+    counts = np.ones((_N_SYMBOLS, _N_SYMBOLS))  # add-one smoothing
+    syms = _sym_indices(_SEED_CORPUS)
+    np.add.at(counts, (syms[:-1], syms[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
 
 
 _LOGPROB = _build_logprob_table()
+_LOGPROB_FLAT = _LOGPROB.reshape(-1)
 
 _WS_RE = re.compile(r"\s+")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
@@ -79,20 +80,16 @@ _SYMBOL_RE = re.compile(r"[#…]|\.\.\.")
 
 
 def char_perplexity(text: str) -> float:
-    """Bigram perplexity of the lowercased text; 0.0 for texts shorter
-    than one transition.  Deterministic; higher = less English-like."""
-    lowered = text.lower()
-    if len(lowered) < 2:
+    """Bigram perplexity over UTF-8 bytes of the lowercased text; 0.0 for
+    texts shorter than one transition.  Deterministic; higher = less
+    English-like.  (Bytes, not code points: each byte of a multi-byte
+    char counts as an OTHER transition — a vectorizable simplification
+    that only affects non-ASCII text, which scores as OTHER either way.)"""
+    syms = _sym_indices(text)
+    if len(syms) < 2:
         return 0.0
-    total = 0.0
-    prev = _char_index(lowered[0])
-    n = 0
-    for c in lowered[1:]:
-        cur = _char_index(c)
-        total += _LOGPROB[prev][cur]
-        prev = cur
-        n += 1
-    return math.exp(-total / n)
+    total = _LOGPROB_FLAT[syms[:-1] * _N_SYMBOLS + syms[1:]].sum()
+    return math.exp(-total / (len(syms) - 1))
 
 
 class QualityStats(NamedTuple):
