@@ -397,6 +397,116 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode → groupBy — the canonical
+    partial-aggregatable text shuffle (map-side combine collapses each
+    partition to its distinct tokens before the exchange)."""
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+def _q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — rank window + filter (Spark turns
+    this into a TopK-per-partition, no global sort)."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (exact `percentile`, not approx —
+    cross-engine checkable)."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+    )
+
+
+def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (lang, source) — grouping-sets coverage."""
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def _q_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: users who never made a purchase over 150 (both the
+    filter and the distinct build side push into the probe's anti join)."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    big_buyers = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        events.select("user_id")
+        .distinct()
+        .join(big_buyers, "user_id", "left_anti")
+        .select(F.col("user_id").cast("long").alias("user_id"))
+    )
+
+
+def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into columns."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -425,6 +535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity": _shipped(_q_validity),
         "eval_metrics": _shipped(_q_eval_metrics),
         "embedding_dups": _shipped(_q_embedding_dups),
+        "token_freq": _shipped(_q_token_freq),
+        "topk_per_user": _shipped(_q_topk_per_user),
+        "value_percentiles": _shipped(_q_value_percentiles),
+        "rollup_stats": _shipped(_q_rollup_stats),
+        "inactive_users": _shipped(_q_inactive_users),
+        "event_type_pivot": _shipped(_q_event_type_pivot),
         # rows-only (Python-re / sketch semantics; oracle lives in pytest)
         "moderation_pipeline": _shipped(_q_moderation),
         "pii_scrub": _shipped(_q_pii_scrub),
@@ -589,6 +705,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a, embeddings b
                 WHERE a.vec_id < b.vec_id
             ) WHERE cosine >= 0.3
+        """,
+
+        "token_freq": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                  FROM documents)
+            WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, rk FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS rk
+                FROM events
+            ) WHERE rk <= 3
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 2) AS vmin,
+                   round(max(value), 2) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "rollup_stats": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "inactive_users": """
+            SELECT DISTINCT user_id FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM events p
+                              WHERE p.user_id = e.user_id
+                                AND p.event_type = 'purchase' AND p.value > 150)
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just the
+first ones that pass.
+
+Checks Catalyst actually delivers: column pruning into the parquet scan,
+predicate pushdown, partition pruning on the wave layout, broadcast for
+star-join dims, and shuffle counts (score stage narrow; context = one
+exchange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from localmod_spark.operators.context import add_context
+from localmod_spark.operators.score import score_turns
+from localmod_spark.operators.textstats import doc_text_features
+from localmod_spark.plans.pipeline import with_wave
+from localmod_spark.sources.transcripts import synth_transcripts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_column_pruning_reaches_scan(spark, docs):
+    """A 2-column projection must not read all 5 document columns."""
+    plan = formatted(doc_text_features(docs).select("doc_id", "caps_ratio"))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "text" in scan[0] and "doc_id" in scan[0]
+    assert "source" not in scan[0] and "n_chars" not in scan[0]
+
+
+def test_predicate_pushdown_reaches_scan(spark, docs):
+    plan = formatted(docs.where(F.col("n_chars") > 300).select("doc_id"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThan(n_chars,300)" in pushed[0], plan
+
+
+def test_partition_pruning_on_wave_layout(spark, tmp_path_factory):
+    """The resume story at scale: a per-wave filter must prune partitions,
+    not rescan the table."""
+    d = str(tmp_path_factory.mktemp("waved"))
+    with_wave(synth_transcripts(spark, 2000, slices=4), 4).write.mode("overwrite").partitionBy(
+        "wave"
+    ).parquet(d)
+    df = spark.read.parquet(d).where(F.col("wave") == 2)
+    plan = formatted(df.select("conv_id"))
+    assert "PartitionFilters" in plan
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "wave" in line, plan
+    assert df.count() > 0
+
+
+def test_star_join_broadcasts_dims(spark):
+    import __spark_entry__ as em
+
+    plan = plan_of(em.queries()["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all three dims broadcast
+
+
+def test_score_stage_is_narrow(spark):
+    """The fused scoring stage must not shuffle — it's the 100 TB hot path."""
+    scored = score_turns(synth_transcripts(spark, 500, slices=2))
+    plan = plan_of(scored)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_context_is_single_exchange(spark):
+    """W1+W2+W3 fused: exactly one shuffle (the conv_id exchange) on top
+    of the narrow scoring stage."""
+    ctx = add_context(score_turns(synth_transcripts(spark, 500, slices=2)))
+    plan = plan_of(ctx)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 exchange, plan:\n{plan}"
+
+
+def test_sql_ops_stay_jvm_side(spark, docs):
+    """Pure-SQL text stats must never fall back to Python evaluation.
+    (The higher-order stopword filter sits outside whole-stage codegen —
+    expected for lambda expressions — but the scan+rest are codegen'd,
+    shown as '*(n)' nodes.)"""
+    plan = plan_of(doc_text_features(docs))
+    assert "*(1)" in plan  # codegen'd scan stage
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
