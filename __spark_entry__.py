@@ -406,7 +406,10 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
+    # testdata is one small parquet file → one input split; spread the
+    # explode across the cluster (a real table has many splits already)
+    par = spark.sparkContext.defaultParallelism
+    tokens = docs.select("text").repartition(par).select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
     ).where(F.col("token") != "")
     return (

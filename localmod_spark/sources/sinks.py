@@ -50,6 +50,31 @@ def with_report_json(scored: DataFrame) -> DataFrame:
     )
 
 
+def with_explanation(scored: DataFrame, classifier: str = "pipeline") -> DataFrame:
+    """Human-readable explanation column, format per the reference
+    ``get_explanation`` (`src/localmod/models/base.py:87-94`).  Uses the
+    pipeline-level flag/severity; auxiliary output only (not part of the
+    decision gate), so Java %.2f vs Python %.2% half-rounding edge cases
+    are acceptable."""
+    conf = F.greatest("tox_conf", "pii_conf", "inj_conf", "spam_conf", "nsfw_conf")
+    return scored.withColumn(
+        "explanation",
+        F.when(
+            ~F.col("flagged"),
+            F.format_string(
+                f"Content passed {classifier} check (confidence: %.2f%%)",
+                (1 - conf) * 100,
+            ),
+        ).otherwise(
+            F.format_string(
+                f"Content flagged by {classifier} (confidence: %.2f%%, severity: %s)",
+                conf * 100,
+                F.col("severity"),
+            )
+        ),
+    )
+
+
 def write_jsonl(scored: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines export of the report documents."""
     with_report_json(scored).select("conv_id", "turn_idx", "report").write.mode(mode).json(path)

@@ -1,0 +1,42 @@
+"""Sink operators: JSON report, explanation strings, jsonl export."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from localmod_spark.operators.score import score_turns
+from localmod_spark.sources.sinks import with_explanation, with_report_json, write_jsonl
+from localmod_spark.sources.transcripts import synth_transcripts
+
+
+def test_explanation_format(spark):
+    scored = score_turns(synth_transcripts(spark, 120, slices=1))
+    out = with_explanation(scored)
+    passed = out.where(~F.col("flagged")).select("explanation").first()[0]
+    assert passed.startswith("Content passed pipeline check (confidence: ")
+    assert passed.endswith("%)")
+    flagged = out.where(F.col("flagged")).select("explanation", "severity").first()
+    assert flagged.explanation.startswith("Content flagged by pipeline (confidence: ")
+    assert f"severity: {flagged.severity})" in flagged.explanation
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    scored = score_turns(synth_transcripts(spark, 80, slices=1))
+    d = str(tmp_path / "jsonl")
+    write_jsonl(scored, d)
+    back = spark.read.json(d)
+    assert back.count() == 80
+    doc = json.loads(back.select("report").first()[0])
+    assert set(doc) >= {"flagged", "severity", "summary", "results"}
+    # confidence rounded to 4 decimals (`models/base.py:33`)
+    for r in doc["results"]:
+        assert round(r["confidence"], 4) == r["confidence"]
+
+
+def test_report_confidences_match_columns(spark):
+    scored = score_turns(synth_transcripts(spark, 60, slices=1))
+    row = with_report_json(scored).select("report", "tox_conf", "spam_conf").first()
+    doc = json.loads(row.report)
+    by_name = {r["classifier"]: r["confidence"] for r in doc["results"]}
+    assert by_name["toxicity"] == round(row.tox_conf, 4)
+    assert by_name["spam"] == round(row.spam_conf, 4)
