@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from localmod_spark.operators.skew import salted_agg
 
@@ -102,6 +103,55 @@ def add_context(scored: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("max_severity_rank", F.max(sev_rank).over(w_all))
         .withColumn("flag_share", F.round(F.col("n_flagged") / F.col("n_turns"), 6))
     )
+
+
+def conv_grouped_features(
+    scored: DataFrame,
+    salt_buckets_hint: int = 0,  # reserved: pre-bucket huge convs by day upstream
+) -> DataFrame:
+    """Per-conversation ORDERED features via grouped-map ``applyInPandas``
+    (SURVEY §2.9): the escape hatch for context logic that window
+    functions can't express — here, per-turn cumulative flagged counts,
+    inter-turn time gaps, and the longest run of consecutive flagged
+    turns up to each position.
+
+    One shuffle on conv_id; each group arrives as one pandas frame sorted
+    by turn_idx inside the UDF.  Same skew caveat as any per-conversation
+    grouping: bound pathological conversations by day upstream.
+    """
+    import pandas as pd
+
+    out_schema = StructType(
+        list(scored.select("conv_id", "turn_idx").schema.fields)
+        + [
+            StructField("cum_flagged", IntegerType(), False),
+            StructField("gap_seconds", DoubleType(), True),
+            StructField("flagged_run_len", IntegerType(), False),
+        ]
+    )
+
+    def _per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        flagged = pdf["flagged"].to_numpy()
+        cum = flagged.cumsum().astype("int32")
+        ts = pd.to_datetime(pdf["ts"])
+        gap = ts.diff().dt.total_seconds()
+        run, runs = 0, []
+        for f in flagged:
+            run = run + 1 if f else 0
+            runs.append(run)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "cum_flagged": cum,
+                "gap_seconds": gap.to_numpy(),
+                "flagged_run_len": runs,
+            }
+        )
+
+    slim = scored.select("conv_id", "turn_idx", "flagged", "ts")
+    return slim.groupBy("conv_id").applyInPandas(_per_conv, schema=out_schema)
 
 
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:

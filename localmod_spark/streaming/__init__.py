@@ -1,5 +1,9 @@
 """Structured-streaming variants of the scoring stage."""
 
-from localmod_spark.streaming.score_stream import conv_flag_counts_stream, score_stream
+from localmod_spark.streaming.score_stream import (
+    conv_flag_counts_stream,
+    conv_running_totals_stream,
+    score_stream,
+)
 
-__all__ = ["score_stream", "conv_flag_counts_stream"]
+__all__ = ["score_stream", "conv_flag_counts_stream", "conv_running_totals_stream"]

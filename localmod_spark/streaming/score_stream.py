@@ -25,6 +25,38 @@ def score_stream(stream_df: DataFrame, cfg: PipelineConfig = None) -> DataFrame:
     return score_turns(stream_df, cfg=cfg or DEFAULT_CONFIG)
 
 
+def conv_running_totals_stream(scored_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation totals maintained
+    across micro-batches via ``applyInPandasWithState`` — the pattern for
+    moderation state Spark's built-in aggregations can't express (e.g.
+    escalation logic over a conversation's lifetime).
+
+    State per conv_id: (n_turns, n_flagged); each trigger emits the
+    updated totals for conversations seen in that batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, n_flagged long"
+    state_schema = "n_turns long, n_flagged long"
+
+    def _update(key, pdfs, state: GroupState):
+        n, f = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            f += int(pdf["flagged"].sum())
+        state.update((n, f))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "n_flagged": [f]})
+
+    return (
+        scored_stream.select("conv_id", "flagged")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def conv_flag_counts_stream(
     scored_stream: DataFrame,
     watermark: str = "10 minutes",

@@ -71,3 +71,27 @@ def test_conv_features_match_unsalted(spark):
         r.conv_id: (r.n_turns, r.n_flagged) for r in conv_features(toy, salt_buckets=3).collect()
     }
     assert naive == salted
+
+
+def test_conv_grouped_features(spark):
+    from localmod_spark.operators.context import conv_grouped_features
+    import pyspark.sql.functions as SF
+
+    rows = [
+        ("a", 0, True, "2024-01-01 00:00:00"),
+        ("a", 1, True, "2024-01-01 00:01:00"),
+        ("a", 2, False, "2024-01-01 00:03:00"),
+        ("a", 3, True, "2024-01-01 00:03:30"),
+        ("b", 0, False, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, flagged boolean, ts string")
+    df = df.withColumn("ts", SF.to_timestamp("ts"))
+    got = {
+        (r.conv_id, r.turn_idx): (r.cum_flagged, r.gap_seconds, r.flagged_run_len)
+        for r in conv_grouped_features(df).collect()
+    }
+    assert got[("a", 0)] == (1, None, 1)
+    assert got[("a", 1)] == (2, 60.0, 2)
+    assert got[("a", 2)] == (2, 120.0, 0)
+    assert got[("a", 3)] == (3, 30.0, 1)
+    assert got[("b", 0)] == (0, None, 0)

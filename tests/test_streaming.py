@@ -57,3 +57,48 @@ def test_streaming_windowed_conv_counts(spark, stream_source_dir):
     total = out.agg(F.sum("n_turns")).collect()[0][0]
     assert total == 600
     assert out.where("n_flagged > n_turns").count() == 0
+
+
+def test_stateful_running_totals_accumulate(spark, tmp_path_factory):
+    """applyInPandasWithState keeps per-conversation state across
+    micro-batches: replay the table one file per trigger and check the
+    final totals equal the batch ground truth."""
+    from localmod_spark.streaming import conv_running_totals_stream
+
+    d = str(tmp_path_factory.mktemp("stateful_src"))
+    full = synth_transcripts(spark, 400, slices=4)
+    full.write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(d)
+    )
+    totals = conv_running_totals_stream(score_stream(stream))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted row per conversation = cumulative totals
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    got = {
+        r.conv_id: (r.n_turns, r.n_flagged)
+        for r in spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by conv_id order by n_turns desc) rk from running_totals) where rk=1"
+        ).collect()
+    }
+    want = {
+        r.conv_id: (r.n, r.f)
+        for r in score_turns(spark.read.parquet(d))
+        .groupBy("conv_id")
+        .agg(SF.count("*").alias("n"), SF.sum(SF.col("flagged").cast("long")).alias("f"))
+        .collect()
+    }
+    assert got == want
