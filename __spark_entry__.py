@@ -510,6 +510,45 @@ def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal rollup: events per day — date functions + partial agg."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: clickers EXCEPT error-producers, plus the INTERSECT
+    count folded in as a flag column."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.where(F.col("event_type") == "click").select("user_id").distinct()
+    erring = events.where(F.col("event_type") == "error").select("user_id").distinct()
+    return clickers.exceptAll(erring.intersect(clickers)).select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+
+
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup's keep-set (min doc_id per distinct text, semi join)."""
+    from localmod_spark.operators.dedup import exact_dedup
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -544,6 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": _shipped(_q_rollup_stats),
         "inactive_users": _shipped(_q_inactive_users),
         "event_type_pivot": _shipped(_q_event_type_pivot),
+        "events_daily": _shipped(_q_events_daily),
+        "set_ops": _shipped(_q_set_ops),
+        "dedup_survivors": _shipped(_q_dedup_survivors),
         # rows-only (Python-re / sketch semantics; oracle lives in pytest)
         "moderation_pipeline": _shipped(_q_moderation),
         "pii_scrub": _shipped(_q_pii_scrub),
@@ -753,6 +795,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+
+        "events_daily": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS day_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "dedup_survivors": """
+            SELECT doc_id FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
