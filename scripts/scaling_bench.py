@@ -152,9 +152,13 @@ Transparency — the same measurement at saturating core counts:
 ### Hardware ceiling (no Spark)
 
 The identical kernel via raw multiprocessing: {hw[8]:,} turns/sec at 8
-workers → {hw[32]:,} at 32 workers = **{hw_eff} scaling efficiency from
-shared memory-bandwidth contention alone** — the 8→32 Spark pair can
-never beat this on this box, regardless of job structure.
+workers → {hw[32]:,} at 32 workers = **{hw_eff} scaling efficiency** in
+this run.  This box's measurements swing ±30-40% run to run (turbo /
+thermal state): across the session the mp ceiling measured 0.46-0.94 and
+the Spark 8→32 pair 0.42-0.65.  The full-socket residual gap is JVM task
+threads + Python workers co-scheduling on the same 32 cores plus Arrow
+ser/de — a single-box artifact; on a real cluster each executor owns its
+cores.
 
 Why the job scales: the scoring stage is shuffle-free (narrow
 mapInPandas over cores×3 input splits), the context stage is one conv_id
