@@ -26,8 +26,14 @@ TURNS_PER_DOC = 40  # pipeline input size = 40 turns per document row
 
 
 def _force(df) -> int:
-    """Force full computation of every row without collecting them."""
-    return df.select(F.count(F.lit(1))).collect()[0][0]
+    """Force full computation of every row AND every column without
+    collecting them (a bare count(1) would let Catalyst prune unused
+    computed columns — e.g. the prunable scoring UDF struct)."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"_c{i}") for i, c in enumerate(df.columns)],
+    )
+    return agg.collect()[0]["n"]
 
 
 def main() -> None:

@@ -1,4 +1,4 @@
-"""Fused moderation-scoring stage (mapInPandas).
+"""Fused moderation-scoring stage (struct-returning pandas UDF).
 
 One Arrow roundtrip scores every classifier for a batch of turns — the
 Spark translation of the reference pipeline fusing all classifiers per
@@ -9,6 +9,10 @@ instead of per-row.
 Scale properties:
   * **narrow** — no shuffle; parallelism = input partitions; at 100 TB this
     stage is embarrassingly parallel across executors;
+  * only the text column crosses into Python; the score struct crosses
+    back; the rest of the row never round-trips through Arrow — and when
+    a downstream plan uses none of the score fields, Catalyst prunes the
+    UDF entirely (a mapInPandas stage can't be pruned);
   * Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch)
     controls texts-per-Python-call; thousands per call amortize the
     serialization and regex-compile-free inner loop;
@@ -23,6 +27,7 @@ from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -79,25 +84,55 @@ def score_schema(input_schema: StructType) -> StructType:
     return StructType(list(input_schema.fields) + SCORE_FIELDS)
 
 
+SCORE_STRUCT = StructType(SCORE_FIELDS)
+
+
+def _score_frame(texts: pd.Series, cfg: PipelineConfig) -> pd.DataFrame:
+    scores = analyze_frame(texts, cfg)
+    # redactions arrive as list-of-dicts per row; Arrow maps them to the
+    # struct array via the declared schema.
+    scores["redactions"] = scores["redactions"].map(
+        lambda hits: [(h["type"], h["start"], h["end"], h["replacement"]) for h in hits]
+    )
+    return scores
+
+
 def score_turns(
     df: DataFrame,
     text_col: str = "text",
     cfg: Optional[PipelineConfig] = None,
 ) -> DataFrame:
-    """Append all moderation/quality columns to *df* in one fused pass."""
+    """Append all moderation/quality columns to *df* in one fused pass.
+
+    Implemented as a struct-returning Series→DataFrame pandas UDF rather
+    than ``mapInPandas``: only the text column crosses into Python and
+    only the score struct crosses back — the other input columns
+    (conv_id, ts, …) never round-trip through Arrow, which matters when
+    rows are wide.  One Python invocation per Arrow batch either way.
+    """
+    cfg = cfg or DEFAULT_CONFIG
+
+    @F.pandas_udf(SCORE_STRUCT)
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        return _score_frame(texts, cfg)
+
+    scored = df.withColumn("_score", _score(F.col(text_col)))
+    return scored.select(*df.columns, "_score.*")
+
+
+def score_turns_mapinpandas(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: Optional[PipelineConfig] = None,
+) -> DataFrame:
+    """mapInPandas variant (whole rows through Python) — kept for cases
+    where the UDF needs other columns (e.g. role-conditional scoring)."""
     cfg = cfg or DEFAULT_CONFIG
     out_schema = score_schema(df.schema)
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scores = analyze_frame(pdf[text_col], cfg)
-            # redactions arrive as list-of-dicts per row; Arrow maps them to
-            # the struct array via the declared schema.
-            scores["redactions"] = scores["redactions"].map(
-                lambda hits: [
-                    (h["type"], h["start"], h["end"], h["replacement"]) for h in hits
-                ]
-            )
+            scores = _score_frame(pdf[text_col], cfg)
             yield pd.concat([pdf.reset_index(drop=True), scores.reset_index(drop=True)], axis=1)
 
     return df.mapInPandas(_score, schema=out_schema)
