@@ -549,6 +549,23 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate nearest neighbors (probe 2 of 16 lists)."""
+    from localmod_spark.operators.similarity import ivf_topk, with_ivf_list
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    listed = with_ivf_list(emb, dim=dim, n_lists=16)
+    return ivf_topk(listed, query_vec_id=0, k=10, n_probe=2, dim=dim, n_lists=16).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("ivf_list").cast("long").alias("ivf_list"),
+        "cosine",
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -594,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
         "lsh_topk": _shipped(_q_lsh_topk),
+        "ivf_topk": _shipped(_q_ivf_topk),
         "media_features": _shipped(_q_media_features),
     }
 

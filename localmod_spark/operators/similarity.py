@@ -108,6 +108,89 @@ def with_lsh_bucket(
     return embeddings.withColumn("lsh_bucket", bucket)
 
 
+def _centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Deterministic unit-norm centroids (seeded Gaussian).  A production
+    IVF trains these with k-means over a sample; seeded random centroids
+    give the same plan shape and recall trade-off knobs without training
+    state."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_lists, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def with_ivf_list(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    seed: int = 23,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector joins the inverted list of its nearest
+    centroid (argmax dot product).  Pure column expressions → the list id
+    becomes a partition/cluster key; at 100 TB the table is bucketed or
+    partitioned by ``ivf_list`` so a probe scans only its lists."""
+    cents = _centroids(dim, n_lists, seed)
+    scores = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
+            for i in range(n_lists)
+        ]
+    )
+    # argmax = position of the max score (1-based array_position → 0-based)
+    return embeddings.withColumn(
+        "ivf_list",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    )
+
+
+def ivf_topk(
+    embeddings_with_list: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 2,
+    dim: int = None,
+    n_lists: int = 16,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the ``n_probe`` inverted lists whose
+    centroids are nearest the query vector.
+
+    The probe-list computation happens on the driver against the tiny
+    centroid matrix (n_lists × dim floats — a parameter, not data); the
+    scan then prunes to those lists before any distance math.
+    """
+    q_row = embeddings_with_list.where(F.col(id_col) == query_vec_id).select(
+        vec_col
+    ).first()
+    qvec = np.array(q_row[0], dtype=np.float64)
+    if dim is None:
+        dim = len(qvec)
+    cents = _centroids(dim, n_lists, seed)
+    probe = np.argsort(-(cents @ qvec))[:n_probe].tolist()
+
+    q = embeddings_with_list.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings_with_list.where(
+            F.col("ivf_list").isin(probe) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "ivf_list",
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def lsh_topk(
     embeddings_with_bucket: DataFrame,
     query_vec_id: int,
