@@ -62,14 +62,18 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full moderation/quality pipeline → keep/drop + scrubbed text."""
+    """Flagship: full moderation/quality pipeline — fused scoring plus the
+    single-exchange conversation-context stage (turn order, repetition,
+    conv aggregates) → keep/drop + byte-exact scrubbed text per turn."""
+    from localmod_spark.operators.context import add_context
     from localmod_spark.operators.score import score_turns
 
     turns = _transcripts(spark, SF0001)
-    return score_turns(turns).select(
+    return add_context(score_turns(turns)).select(
         "conv_id", "turn_idx", "role", "ts",
         "keep", "severity", "scrubbed_text", "redaction_count",
         "lang", "quality_score", "summary",
+        "turn_rank", "is_repeat_turn", "n_turns", "flag_share",
     )
 
 
@@ -566,6 +570,25 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map conversation features (applyInPandas): cumulative
+    flagged count, inter-turn gap, consecutive-flagged run length."""
+    from localmod_spark.operators.context import conv_grouped_features
+    from localmod_spark.operators.score import score_turns
+
+    scored = score_turns(_transcripts(spark, sf_dir))
+    feats = conv_grouped_features(scored)
+    return feats.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("cum_flagged").cast("long").alias("cum_flagged"),
+        F.round("gap_seconds", 2).alias("gap_seconds"),
+        F.col("flagged_run_len").cast("long").alias("flagged_run_len"),
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -612,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _shipped(_q_simhash),
         "lsh_topk": _shipped(_q_lsh_topk),
         "ivf_topk": _shipped(_q_ivf_topk),
+        "conv_context": _shipped(_q_conv_context),
         "media_features": _shipped(_q_media_features),
     }
 

@@ -94,6 +94,20 @@ def main() -> None:
     )
     bench("ann_topk", lambda: cosine_topk(emb, 0, 10).collect())
 
+    # end-to-end wave pipeline incl. parquet writes + lineage (resume off,
+    # fresh dir) — the number closest to a production run
+    import shutil as _sh
+    from localmod_spark.plans.pipeline import run_pipeline
+
+    def _pipeline_write():
+        out = "/tmp/bench_pipeline_out"
+        _sh.rmtree(out, ignore_errors=True)
+        run_pipeline(spark, turns, out, n_waves=4, resume=False)
+
+    t0 = time.time()
+    _pipeline_write()
+    timings["pipeline_write_4waves"] = round(time.time() - t0, 3)
+
     import __spark_entry__ as em
 
     q = em.queries()

@@ -91,7 +91,6 @@ def run_pipeline(
 ) -> PipelineResult:
     """Score every turn, wave by wave, committing lineage as we go."""
     cfg = cfg or DEFAULT_CONFIG
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     staged = with_wave(turns, n_waves)
     done = completed_waves(spark, out_dir) if resume else set()
@@ -122,10 +121,14 @@ def run_pipeline(
             F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
             F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
         )
+        # Plain overwrite of THIS wave's own directory: idempotent on
+        # rerun like dynamic partition overwrite, without its staging
+        # commit cost.  The hive-style dir name keeps the dataset readable
+        # as one wave-partitioned table.
         (
-            observed.write.mode("overwrite")
-            .partitionBy(WAVE_COL)
-            .parquet(data_path(out_dir))
+            observed.drop(WAVE_COL)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
         )
         obs_row = obs.get
         rows = int(obs_row.get("rows") or 0)
@@ -136,7 +139,12 @@ def run_pipeline(
             v = obs_row.get(key)
             return int(v) if v is not None else 0
 
-        metrics_row = [
+        # Ledger rows are driver-side metadata (one row per wave) — append
+        # them directly with pyarrow instead of launching a Spark job per
+        # row.  At production scale this ledger is a catalog/Iceberg table;
+        # locally the dirs stay readable by spark.read.parquet.
+        _append_ledger_row(
+            _metrics_path(out_dir),
             {
                 WAVE_COL: wave,
                 "turns": rows,
@@ -148,22 +156,17 @@ def run_pipeline(
                 "nsfw_flagged": _m("nsfw"),
                 "redactions": _m("redactions"),
                 "wall_ms": round((finished - started) * 1000, 2),
-            }
-        ]
-        spark.createDataFrame(metrics_row).coalesce(1).write.mode("append").parquet(
-            _metrics_path(out_dir)
+            },
         )
-        lineage_row = [
+        _append_ledger_row(
+            _lineage_path(out_dir),
             {
                 WAVE_COL: wave,
                 "status": "done",
                 "rows": rows,
                 "started": started,
                 "finished": finished,
-            }
-        ]
-        spark.createDataFrame(lineage_row).coalesce(1).write.mode("append").parquet(
-            _lineage_path(out_dir)
+            },
         )
         waves_run.append(wave)
 
@@ -173,6 +176,19 @@ def run_pipeline(
         waves_skipped=sorted(done),
         rows_written=total_rows,
     )
+
+
+def _append_ledger_row(dir_path: str, row: dict) -> None:
+    """Append one parquet file containing one ledger row (atomic-enough on
+    a local FS: written to a unique name; readers list the directory)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    table = pa.Table.from_pylist([row])
+    pq.write_table(table, os.path.join(dir_path, f"part-{row[WAVE_COL]:05d}-{uuid.uuid4().hex}.parquet"))
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
