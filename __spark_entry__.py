@@ -389,7 +389,9 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic binary table → feature extraction
-    (decode stubbed; schema/batching real).  Sized from the sf dir."""
+    (decode stubbed; schema/batching real).  Sized from the sf dir.  The
+    MD5-derived payloads make the byte statistics DuckDB-reproducible, so
+    this path is value-oracled, not rows-only."""
     from localmod_spark.operators.multimodal import extract_media_features, synth_media
     from localmod_spark.sources.tables import load_table
 
@@ -397,7 +399,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, n_rows=n)
     feats = extract_media_features(media, dim=16)
     return feats.select(
-        "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy", "n_frames_sampled"
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_entropy",
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
     )
 
 
@@ -532,14 +539,19 @@ def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators: clickers EXCEPT error-producers, plus the INTERSECT
-    count folded in as a flag column."""
+    """Set operators: clickers EXCEPT big-purchasers, with the build side
+    itself an INTERSECT.  (value > 100 keeps the result non-empty at every
+    sf, so the oracle comparison is never vacuous.)"""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
     clickers = events.where(F.col("event_type") == "click").select("user_id").distinct()
-    erring = events.where(F.col("event_type") == "error").select("user_id").distinct()
-    return clickers.exceptAll(erring.intersect(clickers)).select(
+    big_buyers = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("user_id")
+        .distinct()
+    )
+    return clickers.exceptAll(big_buyers.intersect(clickers)).select(
         F.col("user_id").cast("long").alias("user_id")
     )
 
@@ -648,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
@@ -820,7 +832,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(lang, '<all>') AS lang,
                    coalesce(source, '<all>') AS source,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "inactive_users": """
@@ -849,11 +861,38 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 100
         """,
         "dedup_survivors": """
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "media_features": """
+            WITH ids AS (
+                SELECT row_number() OVER () - 1 AS media_id FROM documents
+            ),
+            parsed AS (
+                SELECT media_id,
+                       CAST(media_id % 3 AS INT) AS kind_ix,
+                       list_transform(range(1, 17),
+                           i -> ('0x' || substr(md5(CAST(media_id AS VARCHAR)),
+                                                CAST(2*i-1 AS INT), 2))::BIGINT) AS bytes16,
+                       ('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                FROM ids
+            )
+            SELECT media_id,
+                   CASE kind_ix WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(2048 AS BIGINT) AS n_bytes,
+                   round(CAST(list_sum(bytes16) AS DOUBLE) / 16.0, 6) AS byte_mean,
+                   round(-list_sum(list_transform(list_distinct(bytes16),
+                         v -> (len(list_filter(bytes16, x -> x = v)) / 16.0)
+                              * log2(len(list_filter(bytes16, x -> x = v)) / 16.0))), 6)
+                       AS byte_entropy,
+                   CAST(CASE WHEN kind_ix = 2
+                             THEN greatest((h % 60000 + 1000) // 5000, 1)
+                             ELSE 1 END AS BIGINT) AS n_frames_sampled
+            FROM parsed
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),

@@ -154,6 +154,27 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     }
 
 
+_COLUMN_DTYPES = {
+    "keep": bool, "flagged": bool, "severity": object, "summary": object,
+    "scrubbed_text": object, "redactions": object, "redaction_count": "int64",
+    "tox_flagged": bool, "tox_conf": float,
+    "pii_flagged": bool, "pii_conf": float,
+    "inj_flagged": bool, "inj_conf": float,
+    "spam_flagged": bool, "spam_conf": float,
+    "nsfw_flagged": bool, "nsfw_conf": float,
+    "categories": object,
+    "lang": object, "lang_conf": float,
+    "perplexity": float, "quality_score": float,
+    "quality_flagged": bool, "n_tokens": "int64",
+}
+
+
+def _empty_output_frame(idx) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series([], index=idx, dtype=d) for c, d in _COLUMN_DTYPES.items()}
+    )[OUTPUT_COLUMNS]
+
+
 def _severity_bands(conf: np.ndarray, flagged: np.ndarray, bands) -> np.ndarray:
     """Vectorized band lookup: bands = [(upper_bound, name), ...] ascending,
     final name for >= last bound.  NONE wherever not flagged."""
@@ -181,6 +202,10 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     s = texts.fillna("").astype(str)
     n = len(s)
     idx = s.index
+    if n == 0:
+        # np.array over empty lists yields float64 and breaks the boolean
+        # masks below; Arrow can also hand a UDF a zero-row batch
+        return _empty_output_frame(idx)
     blank = s.str.strip() == ""  # blank guard, e.g. `pii.py:73`
     enabled = set(cfg.classifiers)
 

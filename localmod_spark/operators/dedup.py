@@ -35,13 +35,18 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per distinct text.  Two-phase: the
-    group-by shuffles only (hash, id); survivors join back broadcast-side
-    when small, AQE otherwise."""
+    """Keep exactly one row (min id) per distinct text.
+
+    Groups on (xxhash64(text), text): the leading 64-bit hash partitions
+    and pre-sorts the shuffle cheaply, while the full text in the key
+    makes the dedup collision-proof — at 10^12 rows a hash-only group-by
+    has thousands of expected 64-bit collisions, each silently dropping a
+    distinct document.  Survivors semi-join back on id (broadcast when
+    small, AQE otherwise)."""
     h = F.xxhash64(F.col(text_col))
     winners = (
-        df.select(F.col(id_col), h.alias("_h"))
-        .groupBy("_h")
+        df.select(F.col(id_col), h.alias("_h"), F.col(text_col).alias("_t"))
+        .groupBy("_h", "_t")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
@@ -54,9 +59,17 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(num_hashes: int, seed: int = 7):
+    """Permutation coefficients for (a*x + b) mod p.
+
+    a, b < 2^30 and shingle hashes < 2^32, so a*x + b < 2^62 — the modular
+    arithmetic is exact in int64 (drawing a up to p would overflow at
+    a*x ~ 2^93 and silently degrade min-wise independence).  The
+    restricted coefficient range is still a fine pairwise-ish family for
+    banding; what matters is that the mod is computed on the true product.
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a = rng.randint(1, 1 << 30, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, 1 << 30, size=num_hashes, dtype=np.int64)
     return a, b
 
 
@@ -111,12 +124,21 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together → candidate pairs.
 
     Returns (id_a, id_b, n_bands_shared).  The explode keys the shuffle on
-    (band_ix, band_hash) — hot buckets (boilerplate texts) are the skew
-    risk; cap bucket width upstream by filtering giant buckets.
+    (band_ix, band_hash).
+
+    Giant-bucket cap (the 100 TB guard): the self-join is quadratic
+    *within* a bucket, so one boilerplate string repeated 1M times would
+    emit 10^12 candidate pairs from a single bucket.  Buckets wider than
+    ``max_bucket`` are dropped before the join, bounding the candidate
+    count at ``bands * max_bucket^2 / 2`` per pathological text.  A text
+    group that wide is byte-identical boilerplate in practice — run
+    :func:`exact_dedup` first so it collapses to one representative; pass
+    ``max_bucket=None`` to disable the cap.
     """
     sig = F.col("minhash")
     band_arr = F.array(
@@ -131,6 +153,16 @@ def minhash_candidates(
     exploded = df.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
         id_col, "band.band_ix", "band.band_hash"
     )
+    if max_bucket is not None:
+        # width count shares the join's shuffle key; the semi join prunes
+        # pathological buckets before any pair is generated
+        narrow = (
+            exploded.groupBy("band_ix", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") <= max_bucket)
+            .select("band_ix", "band_hash")
+        )
+        exploded = exploded.join(narrow, ["band_ix", "band_hash"], "left_semi")
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

@@ -55,19 +55,24 @@ MEDIA_SCHEMA = StructType(
 _KINDS = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
 
 
-def synth_media(spark: SparkSession, n_rows: int, seed: int = 42, payload_bytes: int = 2048) -> DataFrame:
+def synth_media(spark: SparkSession, n_rows: int, payload_bytes: int = 2048) -> DataFrame:
     """Deterministic opaque-binary media table (closed-form, distributed).
 
-    Payload = a seeded byte pattern derived from the row id — not a real
-    codec stream, but stable and unique per row, which is all the
-    plumbing tests need."""
+    Payload = the row id's MD5 digest repeated — not a real codec stream,
+    but stable and unique per row, which is all the plumbing tests need.
+    MD5 (rather than xxhash64) because it is engine-independent: the
+    DuckDB correctness oracle recomputes the same digest bytes, so the
+    byte-statistics features are cross-checkable end to end."""
+    if payload_bytes % 16 != 0:
+        raise ValueError("payload_bytes must be a multiple of the 16-byte digest")
     i = F.col("id")
     kind_ix = (i % 3).cast("int")
     kinds = F.array(*[F.lit(k) for k, _ in _KINDS])
     mimes = F.array(*[F.lit(m) for _, m in _KINDS])
-    # deterministic pseudo-payload: repeat the row's hash bytes
-    h = F.abs(F.xxhash64(i, F.lit(seed)))
-    payload = F.repeat(F.unhex(F.lpad(F.hex(h), 16, "0")), payload_bytes // 8).cast("binary")
+    digest = F.md5(i.cast("string"))  # 32 hex chars = 16 payload bytes
+    payload = F.unhex(F.repeat(digest, payload_bytes // 16))
+    # metadata scalar derived from the digest's first 8 hex chars (< 2^32)
+    h = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
     return (
         spark.range(n_rows)
         .select(
@@ -124,27 +129,33 @@ def extract_media_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decode == "real" and len(pdf):
+                raise NotImplementedError(
+                    "real decode requires PIL/torchvision/ffmpeg — not in this container; "
+                    "plug the codec here (same signature, same output schema)"
+                )
+            # columnar iteration (zip over numpy arrays) — the per-payload
+            # bincount is inherently per-row, but the row plumbing isn't
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                if decode == "real":
-                    raise NotImplementedError(
-                        "real decode requires PIL/torchvision/ffmpeg — not in this container; "
-                        "plug the codec here (same signature, same output schema)"
-                    )
+            kinds = pdf["kind"].to_numpy()
+            durations = pdf["duration_ms"].to_numpy()
+            for media_id, kind, payload, duration in zip(
+                pdf["media_id"].to_numpy(), kinds, pdf["payload"], durations
+            ):
+                payload = bytes(payload)
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 counts = np.bincount(arr, minlength=256).astype(np.float64)
                 probs = counts[counts > 0] / len(arr)
                 entropy = float(-(probs * np.log2(probs)).sum())
-                if r["kind"] == "video" and r["duration_ms"] is not None:
-                    n_frames = max(int(r["duration_ms"]) // frame_sample_every_ms, 1)
+                if kind == "video" and not pd.isna(duration):
+                    n_frames = max(int(duration) // frame_sample_every_ms, 1)
                 else:
                     n_frames = 1
                 feat = _fake_decode_features(payload, dim)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "n_bytes": len(payload),
                         "byte_mean": float(arr.mean()),
                         "byte_entropy": round(entropy, 6),

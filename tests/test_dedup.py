@@ -1,0 +1,120 @@
+"""Dedup operators: exact, MinHash-LSH (incl. giant-bucket cap and
+modular-arithmetic honesty), SimHash, n-gram Jaccard verification."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from localmod_spark.operators.dedup import (
+    _MERSENNE,
+    _hash_params,
+    _shingle_hashes,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_candidates,
+    ngram_jaccard,
+    with_minhash,
+    with_simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about quarterly financial reports and audits"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+
+
+def test_exact_dedup_keeps_min_id_per_text(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 1, 2, 4]  # 3 is the exact dup of 0
+
+
+def test_exact_dup_groups_counts(docs):
+    got = {r.rep_id: r.n_dups for r in exact_dup_groups(docs).collect()}
+    assert got[0] == 2 and got[1] == 1 and got[2] == 1 and got[4] == 1
+
+
+def test_exact_dedup_groups_on_text_not_hash_alone(spark):
+    """The group key includes the text itself, so two distinct texts can
+    never merge — even if a 64-bit hash collision were planted.  (We can't
+    forge an xxhash64 collision here; instead assert the contract the key
+    choice guarantees: every distinct text survives.)"""
+    rows = [(i, f"unique text number {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert exact_dedup(df).count() == 200
+
+
+def test_minhash_permutation_arithmetic_is_exact():
+    """Signature minima must equal big-int (a*x + b) mod p — the previous
+    int64 overflow silently computed a different (non-universal) hash."""
+    a, b = _hash_params(num_hashes=16)
+    text = "the quick brown fox jumps over the lazy dog"
+    sh = _shingle_hashes(text, 5)
+    expected = [
+        min((int(ai) * int(x) + int(bi)) % _MERSENNE for x in sh)
+        for ai, bi in zip(a, b)
+    ]
+    vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE  # the UDF's inner math
+    assert vals.min(axis=1).tolist() == expected
+
+
+def test_minhash_lsh_finds_near_dup_pair(docs):
+    sigs = with_minhash(docs, num_hashes=64, shingle_k=5)
+    cands = minhash_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (0, 1) in pairs or (0, 3) in pairs  # near/exact dups collide
+    verified = ngram_jaccard(docs, cands, n=3)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    if (0, 3) in jac:
+        assert jac[(0, 3)] == 1.0  # exact dup
+    if (0, 1) in jac:
+        assert jac[(0, 1)] > 0.5
+
+
+def test_giant_bucket_cap_bounds_candidates(spark):
+    """One boilerplate text repeated 300× would emit ~45k pairs from a
+    single bucket; with max_bucket=50 the bucket is dropped and the
+    planted distinct near-dup pair elsewhere still comes through."""
+    boiler = [(i, "standard disclaimer text repeated everywhere verbatim") for i in range(300)]
+    distinct = [
+        (1000, "a genuinely unique document about alpine meadow ecology studies"),
+        (1001, "a genuinely unique document about alpine meadow ecology study"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    sigs = with_minhash(df, num_hashes=64, shingle_k=5)
+
+    capped = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=50)
+    n_capped = capped.count()
+    # all 300-wide buckets dropped: only the planted pair's buckets remain
+    assert n_capped <= 10
+    assert {(r.id_a, r.id_b) for r in capped.collect()} >= {(1000, 1001)}
+
+    uncapped = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
+    assert uncapped.count() >= 300 * 299 // 2  # the quadratic blowup the cap prevents
+
+
+def test_simhash_near_dups_have_small_hamming(docs, spark):
+    sh = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    assert sh[0] == sh[3]  # identical text → identical signature
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert hamming(sh[0], sh[1]) <= 12   # near-dup: few bits differ
+    assert hamming(sh[0], sh[2]) >= 16   # unrelated: many bits differ
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "w1 w2 w3 w4"  # 3-grams: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"  # 3-grams: {w1 w2 w3, w2 w3 w5}
+    docs = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = ngram_jaccard(docs, pairs, n=3).collect()[0]
+    assert got.jaccard == pytest.approx(1 / 3)

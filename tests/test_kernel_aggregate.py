@@ -81,3 +81,13 @@ def test_frame_equals_per_text_fuzz():
         else:
             texts.append("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))))
     _assert_frame_matches_per_text(texts)
+
+
+def test_frame_empty_batch_returns_typed_empty_frame():
+    """Arrow can hand a UDF a zero-row batch; the guard must return an
+    empty frame with the full column set (previously raised TypeError)."""
+    out = analyze_frame(pd.Series([], dtype=object))
+    assert list(out.columns) == OUTPUT_COLUMNS
+    assert len(out) == 0
+    assert str(out["keep"].dtype) == "bool"
+    assert str(out["redaction_count"].dtype) == "int64"
