@@ -338,7 +338,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     for i in range(n):
         results = []
         if tox_flag[i]:
-            results.append(KernelResult("toxicity", True, tox_prob[i], str(tox_sev[i]), ("general_toxicity",)))
+            results.append(KernelResult("toxicity", True, tox_prob[i], str(tox_sev[i]), ("toxic",)))
         if pii_flag[i]:
             results.append(KernelResult("pii", True, 1.0, pii_sev[i], tuple(pii_cats[i])))
         if inj_flag[i]:

@@ -11,7 +11,7 @@ reference's deterministic test suite
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from localmod_spark.kernel.types import CRITICAL, HIGH, LOW, MEDIUM, NONE, KernelResult, is_blank
 
@@ -107,13 +107,35 @@ def _injection_severity(confidence: float, matched: List[str], threshold: float)
     return LOW
 
 
-def injection_result(text: str, threshold: float = DEFAULT_THRESHOLD) -> KernelResult:
-    """Pattern-only verdict (`prompt_injection.py:106-149` with
-    ``use_ml_model=False``)."""
+def injection_combine(ml_score: float, pattern_score: float, has_pattern_match: bool) -> float:
+    """The ML/pattern combination when the model is loaded
+    (`src/localmod/classifiers/prompt_injection.py:128-132`):
+
+        confidence = max(ml_score, pattern_score)
+        if pattern_matches and ml_score > 0.3:
+            confidence = min(confidence + 0.1, 1.0)   # corroboration boost
+    """
+    confidence = max(ml_score, pattern_score)
+    if has_pattern_match and ml_score > 0.3:
+        confidence = min(confidence + 0.1, 1.0)
+    return confidence
+
+
+def injection_result(
+    text: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    ml_prob_fn: Optional[Callable[[str], float]] = None,
+) -> KernelResult:
+    """Verdict per `prompt_injection.py:106-149`.  Without ``ml_prob_fn``
+    (verified pattern-only configuration): confidence = pattern score.
+    With it: the reference's max-plus-boost combination
+    (:func:`injection_combine`)."""
     if is_blank(text):
         return KernelResult("prompt_injection", False, 0.0, NONE, ())
     matched = injection_categories(text)
     score = injection_score(len(matched))
+    if ml_prob_fn is not None:
+        score = injection_combine(ml_prob_fn(text), score, bool(matched))
     flagged = score >= threshold
     return KernelResult(
         "prompt_injection",

@@ -11,7 +11,7 @@ the reference's own deterministic test suite does
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from localmod_spark.kernel.types import HIGH, LOW, MEDIUM, NONE, KernelResult, is_blank
 
@@ -67,13 +67,32 @@ def _spam_severity(confidence: float, threshold: float) -> str:
     return HIGH
 
 
-def spam_result(text: str, threshold: float = DEFAULT_THRESHOLD) -> KernelResult:
-    """Pattern-only verdict (`src/localmod/classifiers/spam.py:80-121` with
-    ``use_ml_model=False``): confidence = heuristic score; categories only
-    reported when flagged (`spam.py:114`)."""
+ML_THRESHOLD = 0.5  # the reference's default when the ML model is on (`config.py:46`)
+
+
+def spam_blend(ml_score: float, heuristic_score: float) -> float:
+    """The ML/heuristic combination when the model is loaded
+    (`src/localmod/classifiers/spam.py:102-105`):
+    ``confidence = 0.6 * ml_score + 0.4 * heuristic_score``."""
+    return 0.6 * ml_score + 0.4 * heuristic_score
+
+
+def spam_result(
+    text: str,
+    threshold: float = DEFAULT_THRESHOLD,
+    ml_prob_fn: Optional[Callable[[str], float]] = None,
+) -> KernelResult:
+    """Verdict per `src/localmod/classifiers/spam.py:80-121`.
+
+    Without ``ml_prob_fn`` (the verified pattern-only configuration,
+    ``use_ml_model=False``): confidence = heuristic score.  With it:
+    the reference's ``0.6*ml + 0.4*heuristic`` blend — the pattern
+    *categories* are still the heuristic matches (`spam.py:114`), only
+    the confidence (and thus flag/severity) changes."""
     if is_blank(text):
         return KernelResult("spam", False, 0.0, NONE, ())
-    matched, score = spam_heuristics(text)
+    matched, heuristic = spam_heuristics(text)
+    score = spam_blend(ml_prob_fn(text), heuristic) if ml_prob_fn is not None else heuristic
     flagged = score >= threshold
     return KernelResult(
         "spam",

@@ -19,11 +19,72 @@ weight renormalization when models are missing (`toxicity.py:172-173`).
 from __future__ import annotations
 
 import re
-from typing import Callable, Optional
+from typing import Callable, Mapping, Optional
+
+import numpy as np
 
 from localmod_spark.kernel.types import CRITICAL, HIGH, LOW, MEDIUM, NONE, KernelResult, is_blank
 
 DEFAULT_THRESHOLD = 0.17  # ensemble flag threshold, `toxicity.py:46`
+
+# Ensemble weights, `src/localmod/models/paths.py:31-36` (sum to 1.0).
+ENSEMBLE_WEIGHTS = {
+    "toxicity": 0.50,            # Unitary Toxic-BERT (multilabel)
+    "toxicity_dehatebert": 0.20, # DeHateBERT
+    "toxicity_snlp": 0.15,       # s-nlp RoBERTa
+    "toxicity_facebook": 0.15,   # Facebook Dynabench
+}
+# Unknown model names get this weight (`toxicity.py:166` weights.get(..., 0.25)).
+_FALLBACK_WEIGHT = 0.25
+
+
+def ensemble_prob(model_probs: Mapping[str, float], weights: Optional[Mapping[str, float]] = None) -> float:
+    """The reference's weighted ensemble blend with missing-model
+    renormalization (`src/localmod/classifiers/toxicity.py:149-173`):
+
+        weighted = Σ prob[m] * w[m];  total = Σ w[m]
+        if 0 < total < 1.0: weighted /= total
+
+    ``model_probs`` holds only the models that actually loaded — the
+    renormalization is what keeps decisions sane when some of the four
+    are missing (e.g. 3 of 4 loaded → total 0.85, blend rescaled).
+    Iteration order = dict insertion order = the reference's model load
+    order, so float summation order matches CPython exactly.
+    """
+    weights = ENSEMBLE_WEIGHTS if weights is None else weights
+    weighted = 0.0
+    total = 0.0
+    for name, prob in model_probs.items():
+        w = weights.get(name, _FALLBACK_WEIGHT)
+        weighted += prob * w
+        total += w
+    if 0 < total < 1.0:  # `toxicity.py:172-173`
+        weighted /= total
+    return weighted
+
+
+def ensemble_prob_batch(
+    all_probs: Mapping[str, "np.ndarray"], weights: Optional[Mapping[str, float]] = None
+) -> "np.ndarray":
+    """Vectorized ensemble over per-model probability arrays — the
+    batched-path math of ``predict_batch``
+    (`src/localmod/classifiers/toxicity.py:241-253`), which is
+    decision-identical to the scalar path.  This is the shape a real
+    pandas-UDF inference stage feeds: one array per model per Arrow
+    batch."""
+    weights = ENSEMBLE_WEIGHTS if weights is None else weights
+    weighted = None
+    total = 0.0
+    for name, probs in all_probs.items():
+        w = weights.get(name, _FALLBACK_WEIGHT)
+        arr = np.asarray(probs, dtype=np.float64) * w
+        weighted = arr if weighted is None else weighted + arr
+        total += w
+    if weighted is None:
+        raise ValueError("all_probs must contain at least one model")
+    if 0 < total < 1.0:
+        weighted = weighted / total
+    return weighted
 
 # Surrogate lexicon: token -> weight.  Weights chosen so the reference's
 # own fixture texts land on the intended side of the 0.17 threshold
@@ -68,17 +129,27 @@ def toxicity_result(
     text: str,
     threshold: float = DEFAULT_THRESHOLD,
     prob_fn: Optional[Callable[[str], float]] = None,
+    model_prob_fns: Optional[Mapping[str, Callable[[str], float]]] = None,
 ) -> KernelResult:
     """Verdict with the reference's flag contract
-    (`src/localmod/classifiers/toxicity.py:133-189`)."""
+    (`src/localmod/classifiers/toxicity.py:133-189`).
+
+    ``model_prob_fns`` maps model name → per-text probability (one entry
+    per *loaded* model); when given, the confidence is the reference's
+    weighted ensemble with renormalization (:func:`ensemble_prob`).
+    ``prob_fn`` remains the single-scorer override; with neither, the
+    deterministic lexicon surrogate fills the slot (SURVEY §7.4)."""
     if is_blank(text):
         return KernelResult("toxicity", False, 0.0, NONE, ())
-    prob = (prob_fn or surrogate_prob)(text)
+    if model_prob_fns:
+        prob = ensemble_prob({name: fn(text) for name, fn in model_prob_fns.items()})
+    else:
+        prob = (prob_fn or surrogate_prob)(text)
     flagged = prob >= threshold
     return KernelResult(
         "toxicity",
         flagged,
         prob,
         _toxicity_severity(prob, threshold),
-        ("general_toxicity",) if flagged else (),
+        ("toxic",) if flagged else (),  # `toxicity.py:183`
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -169,3 +170,69 @@ def extract_media_features(
     # small Arrow batches: payloads are MBs at production scale
     slim = slim.repartition(max(media.sparkSession.sparkContext.defaultParallelism, 8))
     return slim.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- O7: NSFW ----
+
+NSFW_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("nsfw_prob", DoubleType(), False),
+        StructField("predicted_label", StringType(), False),
+        StructField("nsfw_flagged", BooleanType(), False),
+        StructField("severity", StringType(), False),
+    ]
+)
+
+
+def _fake_vit_probs(payload: bytes) -> list:
+    """Deterministic stand-in for the ViT softmax over {normal, nsfw}:
+    a single logit derived from the payload's byte mean, softmaxed.
+    Replace with AutoImageProcessor + AutoModelForImageClassification
+    (the decision layer in ``kernel/nsfw_image.py`` is the reference's
+    and stays unchanged)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    z = (float(arr.mean()) - 127.5) / 16.0
+    e = np.exp([-z, z])
+    p = e / e.sum()
+    return [float(p[0]), float(p[1])]
+
+
+def classify_media_nsfw(
+    media: DataFrame, threshold: float = 0.5, decode: str = "fake"
+) -> DataFrame:
+    """Image-NSFW scoring (reference O7, `src/localmod/classifiers/
+    nsfw_image.py:110-182`) over the binary media table: images only,
+    narrow mapInPandas (payloads never shuffle), decision math from
+    ``kernel/nsfw_image.py`` verbatim; the ViT forward pass is the fake
+    decoder above (``decode="real"`` marks the codec slot)."""
+    from localmod_spark.kernel.nsfw_image import nsfw_image_prob, nsfw_image_result
+
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def _clf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real" and len(pdf):
+                raise NotImplementedError(
+                    "real decode requires PIL + transformers — not in this container; "
+                    "plug processor+model here (decision layer stays as-is)"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
+                probs = _fake_vit_probs(bytes(payload))
+                prob, label = nsfw_image_prob(probs)
+                r = nsfw_image_result(probs, threshold=threshold)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "nsfw_prob": prob,
+                        "predicted_label": label,
+                        "nsfw_flagged": r.flagged,
+                        "severity": r.severity,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in NSFW_IMAGE_SCHEMA.fields])
+
+    slim = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return slim.mapInPandas(_clf, schema=NSFW_IMAGE_SCHEMA)
