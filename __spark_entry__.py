@@ -258,22 +258,43 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → 16×4 banding →
+    candidate pairs → exact 3-gram-Jaccard verification → pairs ≥ 0.9.
+
+    DuckDB-oracled: the oracle computes all-pairs word-3-gram Jaccard in
+    SQL; equality holds because 16 bands × 4 rows gives recall
+    1-(1-j^4)^16 ≈ 1 - 5e-8 at j=0.9 — the banding provably does not
+    lose qualifying pairs at checked scales (asserted per round by the
+    driver's row-count match)."""
     from localmod_spark.operators.dedup import minhash_candidates, ngram_jaccard, with_minhash
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = with_minhash(docs, num_hashes=64, shingle_k=5)
-    cands = minhash_candidates(sigs, bands=8, rows_per_band=8)
+    sigs = with_minhash(docs, num_hashes=64, shingle_k=3, shingle_mode="word")
+    cands = minhash_candidates(sigs, bands=16, rows_per_band=4)
     verified = ngram_jaccard(docs, cands, n=3)
-    return verified.select("id_a", "id_b", F.col("n_bands_shared").cast("long").alias("n_bands_shared"), F.round("jaccard", 4).alias("jaccard"))
+    return (
+        verified.withColumn("jaccard", F.round("jaccard", 4))
+        .where(F.col("jaccard") >= 0.9)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "jaccard",
+        )
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over MD5 token hashes — engine-independent hashing
+    so DuckDB recomputes the identical signature (bit-weight sums, sign
+    rule) in SQL.  The production operator defaults to 64-bit crc32-pair
+    hashing (same algorithm, faster); this query pins the narrow variant
+    the oracle can express."""
     from localmod_spark.operators.dedup import with_simhash
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return with_simhash(docs).select("doc_id", "simhash")
+    return with_simhash(docs, bits=16, token_hash="md5").select("doc_id", "simhash")
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,18 +607,46 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map conversation features (applyInPandas): cumulative
-    flagged count, inter-turn gap, consecutive-flagged run length."""
-    from localmod_spark.operators.context import conv_grouped_features
-    from localmod_spark.operators.score import score_turns
+    flagged count, inter-turn gap, consecutive-flagged run length.
 
-    scored = score_turns(_transcripts(spark, sf_dir))
-    feats = conv_grouped_features(scored)
+    Runs over the events table with a SQL-derivable flag (event_type =
+    'error') so the grouped-map output is DuckDB-oracle-checkable (the
+    oracle expresses the same features as window SQL); the pandas logic
+    is byte-identical to what the moderation pipeline applies to scored
+    transcripts."""
+    from localmod_spark.operators.context import conv_grouped_features
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = events.select(
+        F.col("user_id").cast("long").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        (F.col("event_type") == "error").alias("flagged"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    feats = conv_grouped_features(turns)
     return feats.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
         F.col("cum_flagged").cast("long").alias("cum_flagged"),
         F.round("gap_seconds", 2).alias("gap_seconds"),
         F.col("flagged_run_len").cast("long").alias("flagged_run_len"),
+    )
+
+
+def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via the scale path: hyperplane-LSH bucket
+    equi-join (candidates only), then exact cosine ≥ t — the oracled
+    variant of the all-pairs baseline in `embedding_dups`."""
+    from localmod_spark.operators.similarity import lsh_embedding_dups
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_embedding_dups(emb, dim=64, threshold=0.3, n_planes=8, seed=11).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
     )
 
 
@@ -629,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity": _shipped(_q_validity),
         "eval_metrics": _shipped(_q_eval_metrics),
         "embedding_dups": _shipped(_q_embedding_dups),
+        "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
@@ -653,6 +703,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','are']"
+
+# ---------------------------------------------------------------------------
+# Generated oracle SQL for the sketch/LSH operators.  The hyperplanes /
+# centroids are deterministic seeded constants (parameters, not data), so
+# they are embedded as array literals — DuckDB recomputes bucket and list
+# assignments with the exact same arithmetic the Spark column expressions
+# use.  All testdata embeddings are dim-64 (TESTDATA.md).
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def _sql_vec(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_dot(vec_expr: str, vals) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {_sql_vec(vals)}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _sql_lsh_bucket(vec_expr: str, n_planes: int = 8, seed: int = 11) -> str:
+    """Mirror of similarity.with_lsh_bucket: Σ (dot(v, plane_i) > 0) << i."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, _EMB_DIM)
+    terms = [
+        f"(CASE WHEN {_sql_dot(vec_expr, planes[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_sql(k: int = 10) -> str:
+    bucket = _sql_lsh_bucket("embedding")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (SELECT embedding AS qvec, bucket AS qb FROM b WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.qvec')}, 4) AS cosine
+            FROM b e, q
+            WHERE e.bucket = q.qb AND e.vec_id <> 0
+        )
+        SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _lsh_embedding_dups_sql(threshold: float = 0.3) -> str:
+    bucket = _sql_lsh_bucket("embedding")
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round({_sql_cos('a.embedding', 'c.embedding')}, 4) AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        ) WHERE cosine >= {threshold}
+    """
+
+
+def _ivf_topk_sql(n_lists: int = 16, seed: int = 23, n_probe: int = 2, k: int = 10) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_lists, _EMB_DIM)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    scores = "[" + ", ".join(_sql_dot("embedding", cents[i]) for i in range(n_lists)) + "]"
+    return f"""
+        WITH s AS (SELECT vec_id, embedding, {scores} AS ls FROM embeddings),
+        assigned AS (
+            SELECT vec_id, embedding, ls,
+                   CAST(list_position(ls, list_max(ls)) - 1 AS BIGINT) AS ivf_list
+            FROM s
+        ),
+        q AS (SELECT embedding AS qvec, ls AS qls FROM assigned WHERE vec_id = 0),
+        probe AS (
+            SELECT CAST(i - 1 AS BIGINT) AS lix
+            FROM (SELECT unnest(qls) AS sc, unnest(range(1, {n_lists + 1})) AS i FROM q)
+            ORDER BY sc DESC, i ASC LIMIT {n_probe}
+        ),
+        cand AS (
+            SELECT a.vec_id, a.ivf_list,
+                   round({_sql_cos('a.embedding', 'q.qvec')}, 4) AS cosine
+            FROM assigned a, q
+            WHERE a.vec_id <> 0 AND a.ivf_list IN (SELECT lix FROM probe)
+        )
+        SELECT vec_id, ivf_list, cosine FROM cand
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _simhash16_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> "
+        f"CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS h
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN len(h) = 0 THEN 0 ELSE {terms} END AS BIGINT) AS simhash
+        FROM hs
+    """
+
+
+def _minhash_jaccard_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """All-pairs word-3-gram Jaccard ≥ t — the ground truth the banding
+    pipeline must reproduce (recall argument in _q_minhash_dedup)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+                                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS g
+            FROM toks
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.g, b.g)) /
+                         CAST(greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS DOUBLE), 4)
+                       AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= {threshold}
+    """
+
+
+_CONV_CONTEXT_SQL = """
+    WITH turns AS (
+        SELECT user_id AS conv_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+               (event_type = 'error') AS flagged,
+               ts
+        FROM events
+    )
+    SELECT conv_id, turn_idx,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum_flagged,
+           round((epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0, 2) AS gap_seconds,
+           CAST(CASE WHEN flagged
+                     THEN turn_idx - coalesce(max(CASE WHEN NOT flagged THEN turn_idx END)
+                          OVER (PARTITION BY conv_id ORDER BY turn_idx), 0)
+                     ELSE 0 END AS BIGINT) AS flagged_run_len
+    FROM turns
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -912,4 +1132,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        # generated oracles (seeded constants embedded as literals)
+        "lsh_topk": _lsh_topk_sql(),
+        "lsh_embedding_dups": _lsh_embedding_dups_sql(),
+        "ivf_topk": _ivf_topk_sql(),
+        "simhash": _simhash16_sql(),
+        "minhash_dedup": _minhash_jaccard_sql(),
+        "conv_context": _CONV_CONTEXT_SQL,
     }

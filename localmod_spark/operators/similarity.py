@@ -85,6 +85,36 @@ def embedding_near_dups(
     )
 
 
+def lsh_embedding_dups(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 100 TB path.
+
+    Same output contract as :func:`embedding_near_dups` but candidates
+    come from a bucket-equality *equi-join* on the hyperplane signature
+    (shuffle keyed on bucket) instead of the O(N²) cartesian: only pairs
+    whose vectors agree on every hyperplane sign are scored.  Recall
+    trade-off is explicit: a pair at cosine t survives all P planes with
+    probability (1 - arccos(t)/π)^P — near-identical vectors (the dedup
+    target) essentially always, mid-similarity pairs rarely.  Lower
+    ``n_planes`` (or OR multiple plane sets) to widen recall."""
+    b = with_lsh_bucket(embeddings, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "lsh_bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "lsh_bucket")
+    pairs = a.join(c, "lsh_bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def with_lsh_bucket(
     embeddings: DataFrame,
     dim: int,

@@ -6,9 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from localmod_spark.operators.dedup import (
-    _MERSENNE,
     _hash_params,
     _shingle_hashes,
+    _splitmix64,
+    _word_shingle_hashes,
     exact_dedup,
     exact_dup_groups,
     minhash_candidates,
@@ -51,18 +52,42 @@ def test_exact_dedup_groups_on_text_not_hash_alone(spark):
     assert exact_dedup(df).count() == 200
 
 
-def test_minhash_permutation_arithmetic_is_exact():
-    """Signature minima must equal big-int (a*x + b) mod p — the previous
-    int64 overflow silently computed a different (non-universal) hash."""
-    a, b = _hash_params(num_hashes=16)
+def test_minhash_mixing_arithmetic_is_exact():
+    """Signature minima must equal the pure-Python (big-int, explicitly
+    masked) splitmix64 — guards against silent numpy overflow semantics
+    drifting from the intended mod-2^64 arithmetic."""
+    mask64 = (1 << 64) - 1
+
+    def mix(z: int) -> int:
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask64
+        return (z ^ (z >> 31)) & ((1 << 63) - 1)
+
+    seeds = _hash_params(num_hashes=16)
     text = "the quick brown fox jumps over the lazy dog"
     sh = _shingle_hashes(text, 5)
     expected = [
-        min((int(ai) * int(x) + int(bi)) % _MERSENNE for x in sh)
-        for ai, bi in zip(a, b)
+        min(mix((int(x) + int(s)) & mask64) for x in sh) for s in seeds
     ]
-    vals = (np.outer(a, sh) + b[:, None]) % _MERSENNE  # the UDF's inner math
-    assert vals.min(axis=1).tolist() == expected
+    vals = _splitmix64(sh.astype(np.uint64)[None, :] + seeds[:, None])  # the UDF's inner math
+    assert vals.min(axis=1).astype(np.int64).tolist() == expected
+
+
+def test_minhash_signature_agreement_estimates_jaccard():
+    """Min-wise quality: P(sig slot agrees) ≈ shingle Jaccard.  The broken
+    non-wrapping linear family scored 0.23 agreement on a 0.97-Jaccard
+    pair; require the estimator to sit near the true value."""
+    a = "order filter query key vector query scan slow big join customer " \
+        "filter group order sort stream batch filter part stream"
+    b = a + " extra"  # one appended token
+    sh_a = _word_shingle_hashes(a, 3).astype(np.uint64)
+    sh_b = _word_shingle_hashes(b, 3).astype(np.uint64)
+    jac = len(np.intersect1d(sh_a, sh_b)) / len(np.union1d(sh_a, sh_b))
+    seeds = _hash_params(num_hashes=256)
+    sig_a = _splitmix64(sh_a[None, :] + seeds[:, None]).min(axis=1)
+    sig_b = _splitmix64(sh_b[None, :] + seeds[:, None]).min(axis=1)
+    agreement = (sig_a == sig_b).mean()
+    assert abs(agreement - jac) < 0.12, (agreement, jac)
 
 
 def test_minhash_lsh_finds_near_dup_pair(docs):
