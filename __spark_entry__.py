@@ -635,6 +635,33 @@ def _q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: minhash→banding→jaccard-verified pairs, then
+    connected components (iterative min-label propagation) → one cluster
+    id (= component min doc_id) per document.  Oracle: recursive-CTE
+    transitive closure over the same all-pairs-jaccard edge set."""
+    from localmod_spark.operators.dedup import (
+        dup_clusters,
+        minhash_candidates,
+        ngram_jaccard,
+        with_minhash,
+    )
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = with_minhash(docs, num_hashes=64, shingle_k=3, shingle_mode="word")
+    cands = minhash_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = (
+        ngram_jaccard(docs, cands, n=3)
+        .where(F.round("jaccard", 4) >= 0.9)
+        .select("id_a", "id_b")
+    )
+    return dup_clusters(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups via the scale path: hyperplane-LSH bucket
     equi-join (candidates only), then exact cosine ≥ t — the oracled
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _shipped(_q_eval_metrics),
         "embedding_dups": _shipped(_q_embedding_dups),
         "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
+        "dup_clusters": _shipped(_q_dup_clusters),
         "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
@@ -827,11 +855,9 @@ def _simhash16_sql() -> str:
     """
 
 
-def _minhash_jaccard_sql(n: int = 3, threshold: float = 0.9) -> str:
-    """All-pairs word-3-gram Jaccard ≥ t — the ground truth the banding
-    pipeline must reproduce (recall argument in _q_minhash_dedup)."""
-    return f"""
-        WITH toks AS (
+def _sql_gram_ctes(n: int = 3) -> str:
+    """Shared CTEs: word n-grams per document (matches ngram_jaccard)."""
+    return f"""toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
             FROM documents
@@ -843,14 +869,40 @@ def _minhash_jaccard_sql(n: int = 3, threshold: float = 0.9) -> str:
                                                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                         ELSE [array_to_string(t, ' ')] END AS g
             FROM toks
-        )
-        SELECT id_a, id_b, jaccard FROM (
+        ),
+        jac AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.g, b.g)) /
                          CAST(greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS DOUBLE), 4)
                        AS jaccard
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= {threshold}
+        )"""
+
+
+def _minhash_jaccard_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """All-pairs word-3-gram Jaccard ≥ t — the ground truth the banding
+    pipeline must reproduce (recall argument in _q_minhash_dedup)."""
+    return f"""
+        WITH {_sql_gram_ctes(n)}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+    """
+
+
+def _dup_clusters_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """Transitive closure of the jaccard edge set via recursive CTE:
+    component label = min reachable doc_id (singletons = own id)."""
+    return f"""
+        WITH RECURSIVE {_sql_gram_ctes(n)},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        cc(v, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.v
+        )
+        SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        FROM cc GROUP BY v
     """
 
 
@@ -1138,5 +1190,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(),
         "simhash": _simhash16_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),
+        "dup_clusters": _dup_clusters_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
     }

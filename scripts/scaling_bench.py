@@ -46,21 +46,43 @@ spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
 spark.sparkContext.setLogLevel("ERROR")
 turns = synth_transcripts(spark, n_turns, slices=cores * 3).persist()
 turns.count()
-job = lambda: add_context(score_turns(turns)).select(F.count(F.lit(1))).collect()
+# Two fake-timing traps, both guarded here:
+#  1. count(1) alone lets Catalyst prune the scoring UDF and the window
+#     (times an empty persisted scan) — so count EVERY output column;
+#  2. re-collecting the SAME DataFrame object reuses the first run's
+#     shuffle files (the pre-exchange scoring stage is skipped entirely,
+#     values right, cost gone) — so REBUILD the plan inside every call.
+def job():
+    scored = add_context(score_turns(turns))
+    agg = scored.agg(F.count(F.lit(1)).alias("n"),
+                     *[F.count(c).alias(f"c{{i}}") for i, c in enumerate(scored.columns)])
+    agg.collect()
 job()  # full-pass warmup: every task slot spawns+imports its Python worker
 best = 1e18
 for _ in range(1 if cores <= 2 else 2):
     t0 = time.time(); job(); best = min(best, time.time() - t0)
+tps = n_turns / best
+if cores == 1 and tps > 60_000:
+    raise RuntimeError(f"implausible single-core throughput {{tps:,.0f}} turns/s — "
+                       "the scoring UDF was pruned; timing is fake")
 print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(best, 3),
-                               "turns_per_sec": round(n_turns / best, 1)}}))
+                               "turns_per_sec": round(tps, 1)}}))
 spark.stop()
 """
 
 
 def run_at(cores: int, n_turns: int) -> dict:
+    """One measurement in a fresh JVM, CPU-affinity-bound to exactly
+    ``cores`` physical cores (no SMT on this box).  Without the binding,
+    local[N] only caps Spark TASK SLOTS — the Python UDF workers and JVM
+    Arrow/GC threads spill onto other idle cores, inflating the small-N
+    baseline and understating scaling.  Pinning makes local[N] a faithful
+    proxy for an executor that owns N cores."""
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, n_turns=n_turns)
+    cpus = ",".join(str(c) for c in range(cores))
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        ["taskset", "-c", cpus, sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -122,9 +144,11 @@ North-rule gate: ≥ 0.8 throughput scaling efficiency between N- and
 4N-executor clusters.  Sandbox proxy (per driver instructions): the
 identical job — fused moderation scoring + conversation context over
 {n_turns:,} deterministic synthetic turns — at two parallelism levels on
-the same input.  Fresh JVM per run, full-pass Python-worker warmup
-excluded from timing (paid once per executor on a real cluster),
-best of 2.
+the same input.  Fresh JVM per run, **CPU-affinity-bound to exactly N
+cores** (local[N] alone only caps task slots; Python workers would spill
+onto idle cores and inflate the small-N baseline), full-pass
+Python-worker warmup excluded from timing (paid once per executor on a
+real cluster), best of 2.
 
 ## Primary pair: N=1 → 4N=4
 
@@ -155,7 +179,7 @@ The identical kernel via raw multiprocessing: {hw[8]:,} turns/sec at 8
 workers → {hw[32]:,} at 32 workers = **{hw_eff} scaling efficiency** in
 this run.  This box's measurements swing ±30-40% run to run (turbo /
 thermal state): across the session the mp ceiling measured 0.46-0.94 and
-the Spark 8→32 pair 0.42-0.65.  The full-socket residual gap is JVM task
+the Spark 8→32 pair 0.28-0.65.  The full-socket residual gap is JVM task
 threads + Python workers co-scheduling on the same 32 cores plus Arrow
 ser/de — a single-box artifact; on a real cluster each executor owns its
 cores.
@@ -164,6 +188,26 @@ Why the job scales: the scoring stage is shuffle-free (narrow
 mapInPandas over cores×3 input splits), the context stage is one conv_id
 exchange, and the only serial components are task scheduling and a ~1 s
 Arrow plumbing floor (measured via a pass-through UDF).
+
+## Measurement integrity
+
+Three fake-timing traps found and closed this round (round-1's reported
+0.94/0.82 pair was contaminated by the first two):
+
+1. **Pruned UDF**: timing `count(1)` lets Catalyst prune the scoring UDF
+   and the window — a fake ~800k turns/sec single-core "pipeline" (an
+   empty persisted-scan count).  The timed aggregation now counts EVERY
+   output column, and the harness refuses to report single-core
+   throughput above 60k turns/sec (the real kernel does ~10k/s/core), so
+   a pruned plan fails loudly instead of flattering the numbers.
+2. **Shuffle reuse**: re-collecting the SAME DataFrame object reuses the
+   first run's shuffle files — the pre-exchange scoring stage is skipped
+   entirely (right answer, no cost).  The plan is rebuilt inside every
+   timed call.
+3. **Task-slot vs CPU**: local[N] caps Spark task slots, not CPUs —
+   Python UDF workers spill onto idle cores and inflate the small-N
+   baseline (measured: 1→4 looked like 0.70 unpinned, 0.93 pinned).
+   Every run is now `taskset`-bound to exactly N physical cores.
 
 Measured {stamp}.  Reproduce: `python scripts/scaling_bench.py {n_turns}`
 """

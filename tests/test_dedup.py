@@ -143,3 +143,29 @@ def test_ngram_jaccard_exact_value(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     got = ngram_jaccard(docs, pairs, n=3).collect()[0]
     assert got.jaccard == pytest.approx(1 / 3)
+
+
+def test_dup_clusters_transitive_closure(spark):
+    from localmod_spark.operators.dedup import dup_clusters
+
+    docs2 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    # chain 1-2-3 (transitive), pair 5-6, singletons 0 and 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — the
+    convergence loop must reach the fixpoint, not stop early."""
+    from localmod_spark.operators.dedup import dup_clusters
+
+    n = 12
+    docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}

@@ -86,3 +86,33 @@ def test_output_scrub_matches_kernel(spark, first_run, out_dir):
     for r in rows:
         want = pii_scrub(r.text)[0] if r.text is not None else None
         assert r.scrubbed_text == want
+
+
+def test_stage_write_partition_pruned_equivalent(spark, tmp_path_factory):
+    """stage='write' (materialize once, hive-partitioned by wave, pruned
+    per-wave reads) must produce the identical output to the default."""
+    d = str(tmp_path_factory.mktemp("staged_out"))
+    turns = synth_transcripts(spark, N, slices=4)
+    res = run_pipeline(spark, turns, d, n_waves=WAVES, context=False, stage="write")
+    assert sorted(res.waves_run) == list(range(WAVES))
+    out = read_output(spark, d)
+    assert out.count() == N
+    assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+    import os
+    assert os.path.isdir(d + "/_staging/wave=0")  # hive layout → pruning
+
+
+def test_unreadable_ledger_warns_not_silently_resets(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corrupt_ledger"))
+    turns = synth_transcripts(spark, 200, slices=2)
+    run_pipeline(spark, turns, d, n_waves=2, context=False)
+    # corrupt the ledger: a truncated 'parquet' file readers must reject
+    with open(d + "/_lineage/part-zzzzz-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        waves = completed_waves(spark, d)
+    assert waves == set()  # degraded to fresh run ...
+    assert any("unreadable" in str(c.message) for c in caught)  # ... loudly

@@ -95,3 +95,27 @@ def test_sql_ops_stay_jvm_side(spark, docs):
     assert "*(1)" in plan  # codegen'd scan stage
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_lsh_embedding_dups_is_equi_join(spark):
+    """The scale-path near-dup join must hash-partition on the bucket —
+    never a cartesian/broadcast-nested-loop over all pairs."""
+    from localmod_spark.operators.similarity import lsh_embedding_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(lsh_embedding_dups(emb, dim=64, threshold=0.3))
+    assert "CartesianProduct" not in plan, plan
+    # bucket equality is the join key (hash or sort-merge both fine;
+    # what matters is it's keyed, with id_a < id_b as a residual filter)
+    assert "lsh_bucket" in plan
+
+
+def test_minhash_bucket_cap_prunes_before_join(spark):
+    """With the cap on, the candidate join's input is semi-joined against
+    the narrow-bucket set — the pair blowup never materializes."""
+    from localmod_spark.operators.dedup import minhash_candidates, with_minhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = with_minhash(docs, num_hashes=16)
+    plan = plan_of(minhash_candidates(sigs, bands=4, rows_per_band=4, max_bucket=100))
+    assert "LeftSemi" in plan, plan
