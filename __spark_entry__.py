@@ -662,6 +662,43 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection — the query a pipeline user
+    actually runs: validity gate → near-dup clustering → keep only each
+    cluster's representative → token-count band.  Composes validate,
+    minhash/LSH, jaccard-verify and dup_clusters; every stage is
+    SQL-expressible so the whole composition is value-oracled."""
+    from localmod_spark.operators.dedup import (
+        dup_clusters,
+        minhash_candidates,
+        ngram_jaccard,
+        with_minhash,
+    )
+    from localmod_spark.operators.validate import with_validity
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    valid = with_validity(docs, max_len=400).where(F.col("valid")).drop("valid", "invalid_reason")
+    sigs = with_minhash(valid, num_hashes=64, shingle_k=3, shingle_mode="word")
+    cands = minhash_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = (
+        ngram_jaccard(valid, cands, n=3)
+        .where(F.round("jaccard", 4) >= 0.9)
+        .select("id_a", "id_b")
+    )
+    reps = dup_clusters(valid, pairs).where(F.col("doc_id") == F.col("cluster"))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        valid.join(reps.select("doc_id"), "doc_id", "left_semi")
+        .where((n_tokens >= 5) & (n_tokens <= 1000))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups via the scale path: hyperplane-LSH bucket
     equi-join (candidates only), then exact cosine ≥ t — the oracled
@@ -707,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _shipped(_q_embedding_dups),
         "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
+        "corpus_select": _shipped(_q_corpus_select),
         "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
@@ -855,12 +893,12 @@ def _simhash16_sql() -> str:
     """
 
 
-def _sql_gram_ctes(n: int = 3) -> str:
+def _sql_gram_ctes(n: int = 3, src: str = "documents") -> str:
     """Shared CTEs: word n-grams per document (matches ngram_jaccard)."""
     return f"""toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-            FROM documents
+            FROM {src}
         ),
         grams AS (
             SELECT doc_id,
@@ -903,6 +941,35 @@ def _dup_clusters_sql(n: int = 3, threshold: float = 0.9) -> str:
         )
         SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
         FROM cc GROUP BY v
+    """
+
+
+def _corpus_select_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """The full selection composition in SQL: validity gate → all-pairs
+    jaccard edges among valid docs → transitive closure → cluster
+    representatives → token-count band."""
+    return f"""
+        WITH RECURSIVE docs_v AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '' AND length(text) <= 400
+        ),
+        {_sql_gram_ctes(n, src="docs_v")},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        cc(v, lbl) AS (
+            SELECT doc_id, doc_id FROM docs_v
+            UNION
+            SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.v
+        ),
+        reps AS (
+            SELECT v FROM (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v) WHERE v = lbl
+        )
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT d.doc_id, d.lang,
+                   CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM docs_v d JOIN reps r ON d.doc_id = r.v
+        ) WHERE n_tokens BETWEEN 5 AND 1000
     """
 
 
@@ -1191,5 +1258,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash16_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "corpus_select": _corpus_select_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
     }

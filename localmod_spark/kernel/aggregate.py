@@ -277,9 +277,10 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     qflag: List[bool] = []
     ntok: List[int] = []
     raw_arr = raw.to_numpy()
+    blank_arr = blank.to_numpy()  # positional indexing: .iloc per row costs ~10% of the batch
     pii_on = "pii" in enabled
     for i, t in enumerate(s.to_numpy()):
-        if blank.iloc[i] or not pii_on:
+        if blank_arr[i] or not pii_on:
             scrub, hits = (t, [])
         else:
             scrub, hits = pii_scrub(t)
