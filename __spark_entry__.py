@@ -298,13 +298,15 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN: the query's bucket plus every
+    hamming-1 neighbor bucket (the standard recall knob)."""
     from localmod_spark.operators.similarity import lsh_topk, with_lsh_bucket
     from localmod_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     bucketed = with_lsh_bucket(emb, dim=dim, n_planes=8)
-    return lsh_topk(bucketed, query_vec_id=0, k=10).select(
+    return lsh_topk(bucketed, query_vec_id=0, k=10, hamming=1).select(
         F.col("vec_id").cast("long").alias("vec_id"), "cosine"
     )
 
@@ -821,7 +823,9 @@ def _lsh_topk_sql(k: int = 10) -> str:
         scored AS (
             SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.qvec')}, 4) AS cosine
             FROM b e, q
-            WHERE e.bucket = q.qb AND e.vec_id <> 0
+            WHERE (e.bucket = q.qb
+                   OR (xor(e.bucket, q.qb) & (xor(e.bucket, q.qb) - 1)) = 0)
+              AND e.vec_id <> 0
         )
         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """

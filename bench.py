@@ -112,7 +112,8 @@ def main() -> None:
 
     q = em.queries()
     for name in ("pricing_summary", "revenue_by_nation", "token_freq",
-                 "pii_scrub", "sessionize", "media_features"):
+                 "pii_scrub", "sessionize", "media_features",
+                 "dup_clusters", "corpus_select", "lsh_topk"):
         bench(name, lambda name=name: _force(q[name](spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)

@@ -22,7 +22,7 @@ Two entry points with identical semantics (asserted equal in tests):
 from __future__ import annotations
 
 import warnings
-from typing import List, NamedTuple, Optional
+from typing import Callable, List, Mapping, NamedTuple, Optional
 
 import numpy as np
 import pandas as pd
@@ -56,13 +56,31 @@ class PipelineConfig(NamedTuple):
     ``classifiers`` selects which classifiers run (reference F3: the
     analyze API's classifier subset, `src/localmod/pipeline.py:102-103`);
     a disabled classifier contributes flagged=False / confidence 0.0 /
-    severity none, exactly like an unselected one in the reference."""
+    severity none, exactly like an unselected one in the reference.
+
+    ML slots (S5): each ``*_ml_fn`` maps one text → probability; when set,
+    the reference's combination arithmetic applies — spam
+    ``0.6*ml + 0.4*heuristic`` (`spam.py:102-105`), injection
+    ``max(ml, pattern)`` + 0.1 corroboration boost
+    (`prompt_injection.py:128-132`), NSFW model prob through the
+    safe-override dampening (`nsfw.py:127-129`).
+    ``toxicity_model_fns`` maps model name → per-text probability (only
+    the loaded models) and engages the weighted ensemble with
+    renormalization (`toxicity.py:149-173`).  On Spark, closures here are
+    serialized into the scoring UDF; load artifacts lazily at module
+    scope inside the fn so each Python worker pays the load once.
+    Thresholds are NOT auto-switched: the reference's ML-mode defaults
+    (e.g. spam 0.5) are the caller's choice."""
 
     toxicity_threshold: float = tox_mod.DEFAULT_THRESHOLD
     spam_threshold: float = spam_mod.DEFAULT_THRESHOLD
     injection_threshold: float = inj_mod.DEFAULT_THRESHOLD
     nsfw_threshold: float = nsfw_mod.DEFAULT_THRESHOLD
     classifiers: tuple = ("toxicity", "pii", "prompt_injection", "spam", "nsfw")
+    spam_ml_fn: Optional[Callable[[str], float]] = None
+    injection_ml_fn: Optional[Callable[[str], float]] = None
+    nsfw_prob_fn: Optional[Callable[[str], float]] = None
+    toxicity_model_fns: Optional[Mapping[str, Callable[[str], float]]] = None
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -108,16 +126,32 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     def off(name: str) -> KernelResult:
         return blank(name, False, 0.0, NONE, ())
 
-    tox = toxicity_result(t, cfg.toxicity_threshold) if "toxicity" in enabled else off("toxicity")
+    tox = (
+        toxicity_result(t, cfg.toxicity_threshold, model_prob_fns=cfg.toxicity_model_fns)
+        if "toxicity" in enabled
+        else off("toxicity")
+    )
     if "pii" in enabled:
         scrubbed, hits = pii_scrub(t)  # one regex pass serves scrub AND verdict
         pii = pii_result_from(t, hits)
     else:
         scrubbed, hits = t, []
         pii = off("pii")
-    inj = injection_result(t, cfg.injection_threshold) if "prompt_injection" in enabled else off("prompt_injection")
-    spam = spam_result(t, cfg.spam_threshold) if "spam" in enabled else off("spam")
-    nsfw = nsfw_result(t, cfg.nsfw_threshold) if "nsfw" in enabled else off("nsfw")
+    inj = (
+        injection_result(t, cfg.injection_threshold, ml_prob_fn=cfg.injection_ml_fn)
+        if "prompt_injection" in enabled
+        else off("prompt_injection")
+    )
+    spam = (
+        spam_result(t, cfg.spam_threshold, ml_prob_fn=cfg.spam_ml_fn)
+        if "spam" in enabled
+        else off("spam")
+    )
+    nsfw = (
+        nsfw_result(t, cfg.nsfw_threshold, prob_fn=cfg.nsfw_prob_fn)
+        if "nsfw" in enabled
+        else off("nsfw")
+    )
     # aggregation runs over the SELECTED classifiers only, in registry
     # order (`src/localmod/pipeline.py:102-129`)
     results = [r for r in (tox, pii, inj, spam, nsfw) if r.classifier in enabled]
@@ -223,6 +257,9 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         caps_mask = caps > 0.5
         spam_masks.append(("high_caps_ratio", caps_mask))
         spam_score = np.minimum(spam_score + np.where(caps_mask, 0.15, 0.0), 1.0)
+        if cfg.spam_ml_fn is not None:  # `spam.py:102-105` blend
+            ml = np.fromiter((cfg.spam_ml_fn(t) for t in s.to_numpy()), dtype=float, count=n)
+            spam_score = 0.6 * ml + 0.4 * spam_score
         spam_score = np.where(blank, 0.0, spam_score)
     spam_flag = (spam_score >= cfg.spam_threshold) & ~blank.to_numpy() & ("spam" in enabled)
 
@@ -235,33 +272,54 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             inj_cat_masks.append((cat, s.str.contains(alt, na=False).to_numpy()))
         inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
         inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
+        if cfg.injection_ml_fn is not None:  # `prompt_injection.py:128-132`
+            ml = np.fromiter(
+                (cfg.injection_ml_fn(t) for t in s.to_numpy()), dtype=float, count=n
+            )
+            combined = np.maximum(ml, inj_score)
+            boost = (inj_n > 0) & (ml > 0.3)
+            inj_score = np.where(boost, np.minimum(combined + 0.1, 1.0), combined)
         inj_score = np.where(blank, 0.0, inj_score)
         for cat, m in inj_cat_masks:
             if cat in inj_mod._CRITICAL_CATEGORIES:
                 inj_critical |= m
     inj_flag = (inj_score >= cfg.injection_threshold) & ~blank.to_numpy() & ("prompt_injection" in enabled)
 
-    # ---- nsfw (vectorized keyword/safe layers + surrogate prob) ----
+    # ---- nsfw (vectorized keyword/safe layers + model-or-surrogate prob) ----
     nsfw_prob = np.zeros(n)
     if "nsfw" in enabled:
         lowered = s.str.lower()
         explicit = lowered.str.contains(nsfw_mod._KEYWORD_ALT, na=False).to_numpy()
-        suggestive = lowered.str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
         safe_hit = s.str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
         safe = safe_hit & ~explicit  # `nsfw.py:82-87`
-        nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
+        if cfg.nsfw_prob_fn is not None:
+            nsfw_prob = np.fromiter(
+                (cfg.nsfw_prob_fn(t) for t in s.to_numpy()), dtype=float, count=n
+            )
+        else:
+            suggestive = lowered.str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
+            nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
         nsfw_prob = np.where(  # `nsfw.py:127-129`
             safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
         )
         nsfw_prob = np.where(blank, 0.0, nsfw_prob)
     nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank.to_numpy() & ("nsfw" in enabled)
 
-    # ---- per-text loops: toxicity lexicon, pii scan/scrub, langid, quality ----
+    # ---- per-text loops: toxicity lexicon/ensemble, pii scan/scrub, langid, quality ----
     if "toxicity" in enabled:
-        tox_prob = np.fromiter(
-            (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
-            dtype=float, count=n,
-        )
+        if cfg.toxicity_model_fns:
+            # batched ensemble: one prob array per model, weighted blend +
+            # renormalization (`toxicity.py:241-253` via ensemble_prob_batch)
+            all_probs = {
+                name: np.fromiter((fn(t) for t in s.to_numpy()), dtype=float, count=n)
+                for name, fn in cfg.toxicity_model_fns.items()
+            }
+            tox_prob = np.where(blank.to_numpy(), 0.0, tox_mod.ensemble_prob_batch(all_probs))
+        else:
+            tox_prob = np.fromiter(
+                (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
+                dtype=float, count=n,
+            )
     else:
         tox_prob = np.zeros(n)
     tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank.to_numpy() & ("toxicity" in enabled)

@@ -227,14 +227,26 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only the query's bucket."""
+    """Approximate top-k: score only the query's bucket.
+
+    ``hamming=1`` enables multi-probe: buckets whose signature differs
+    from the query's by at most one hyperplane sign are probed too — the
+    standard recall knob (a true neighbor near one hyperplane flips
+    exactly that bit).  With P planes this scans ~(P+1)/2^P of the
+    corpus instead of 1/2^P; still bucket-pruned, never a full scan."""
     q = embeddings_with_bucket.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qbucket")
     )
+    xor = F.col("lsh_bucket").bitwiseXOR(F.col("_qbucket"))
+    probe = xor == 0
+    if hamming >= 1:
+        # xor is a power of two ⇔ exactly one differing plane sign
+        probe = probe | ((xor != 0) & (xor.bitwiseAND(xor - 1) == 0))
     scored = (
         embeddings_with_bucket.crossJoin(F.broadcast(q))
-        .where((F.col("lsh_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_vec_id))
+        .where(probe & (F.col(id_col) != query_vec_id))
         .select(
             id_col,
             F.round(

@@ -60,3 +60,22 @@ def test_lsh_bucket_probe_recall_on_planted_dup(emb):
     top = lsh_topk(bucketed, 0, k=3).collect()
     # near-identical vectors share all hyperplane signs → same bucket
     assert top and top[0].vec_id == 999
+
+
+def test_lsh_multiprobe_expands_candidates(emb, spark):
+    """hamming=1 probes the query bucket plus each one-bit-flip bucket:
+    strictly more candidates, and every exact-bucket hit is retained."""
+    from pyspark.sql import functions as F
+    from localmod_spark.operators.similarity import with_lsh_bucket
+
+    bucketed = with_lsh_bucket(emb, dim=DIM, n_planes=6).persist()
+    exact = lsh_topk(bucketed, 0, k=50, hamming=0).collect()
+    multi = lsh_topk(bucketed, 0, k=50, hamming=1).collect()
+    assert {r.vec_id for r in exact} <= {r.vec_id for r in multi}
+    assert len(multi) >= len(exact)
+    # the probed set is still pruned: strictly fewer rows than the corpus
+    qb = bucketed.where(F.col("vec_id") == 0).select("lsh_bucket").first()[0]
+    xor = F.col("lsh_bucket").bitwiseXOR(F.lit(qb))
+    probed = bucketed.where((xor == 0) | ((xor != 0) & (xor.bitwiseAND(xor - 1) == 0))).count()
+    assert probed < bucketed.count()
+    bucketed.unpersist()
