@@ -139,10 +139,9 @@ def with_lsh_bucket(
 
 
 def _centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
-    """Deterministic unit-norm centroids (seeded Gaussian).  A production
-    IVF trains these with k-means over a sample; seeded random centroids
-    give the same plan shape and recall trade-off knobs without training
-    state."""
+    """Deterministic unit-norm centroids (seeded Gaussian) — the k-means
+    INITIALIZATION and the default codebook for oracle-checkable queries;
+    :func:`train_ivf_centroids` refines them with spherical k-means."""
     rng = np.random.RandomState(seed)
     c = rng.randn(n_lists, dim)
     return c / np.linalg.norm(c, axis=1, keepdims=True)
@@ -154,16 +153,20 @@ def with_ivf_list(
     n_lists: int = 16,
     seed: int = 23,
     vec_col: str = "embedding",
+    centroids: "np.ndarray" = None,
 ) -> DataFrame:
     """IVF assignment: each vector joins the inverted list of its nearest
     centroid (argmax dot product).  Pure column expressions → the list id
     becomes a partition/cluster key; at 100 TB the table is bucketed or
-    partitioned by ``ivf_list`` so a probe scans only its lists."""
-    cents = _centroids(dim, n_lists, seed)
+    partitioned by ``ivf_list`` so a probe scans only its lists.
+
+    ``centroids`` (n_lists × dim) overrides the seeded defaults — pass
+    the output of :func:`train_ivf_centroids` for trained lists."""
+    cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
     scores = F.array(
         *[
             _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
-            for i in range(n_lists)
+            for i in range(len(cents))
         ]
     )
     # argmax = position of the max score (1-based array_position → 0-based)
@@ -171,6 +174,50 @@ def with_ivf_list(
         "ivf_list",
         (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    n_iter: int = 5,
+    seed: int = 23,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means for the IVF codebook, as plain DataFrame passes.
+
+    Each Lloyd iteration: (1) assign every vector to its max-dot unit
+    centroid (same column expressions as :func:`with_ivf_list`), (2)
+    recompute centroids as the element-wise mean, re-normalized.  Only
+    the (n_lists × dim) sum table ever reaches the driver — a model
+    parameter, not data.  Empty lists keep their previous centroid.
+    At 100 TB train on ``embeddings.sample(frac)`` — k-means quality
+    saturates long before the full corpus — then assign the full table
+    once with the trained codebook."""
+    cents = _centroids(dim, n_lists, seed)
+    for _ in range(n_iter):
+        listed = with_ivf_list(embeddings, dim, vec_col=vec_col, centroids=cents)
+        rows = (
+            listed.select("ivf_list", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("ivf_list", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((n_lists, dim))
+        counts = np.zeros(n_lists)
+        for r in rows:
+            sums[r.ivf_list, r.pos] = r.s
+            counts[r.ivf_list] = r.n  # same n for every pos of a list
+        new = cents.copy()
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        new[nonempty] = means / norms
+        if np.allclose(new, cents, atol=1e-9):
+            break
+        cents = new
+    return cents
 
 
 def ivf_topk(
@@ -183,13 +230,15 @@ def ivf_topk(
     seed: int = 23,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray" = None,
 ) -> DataFrame:
     """Approximate top-k: score only the ``n_probe`` inverted lists whose
     centroids are nearest the query vector.
 
     The probe-list computation happens on the driver against the tiny
     centroid matrix (n_lists × dim floats — a parameter, not data); the
-    scan then prunes to those lists before any distance math.
+    scan then prunes to those lists before any distance math.  Pass the
+    same ``centroids`` the table was assigned with (trained or seeded).
     """
     q_row = embeddings_with_list.where(F.col(id_col) == query_vec_id).select(
         vec_col
@@ -197,7 +246,7 @@ def ivf_topk(
     qvec = np.array(q_row[0], dtype=np.float64)
     if dim is None:
         dim = len(qvec)
-    cents = _centroids(dim, n_lists, seed)
+    cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
     probe = np.argsort(-(cents @ qvec))[:n_probe].tolist()
 
     q = embeddings_with_list.where(F.col(id_col) == query_vec_id).select(
