@@ -702,14 +702,17 @@ def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dups via the scale path: hyperplane-LSH bucket
-    equi-join (candidates only), then exact cosine ≥ t — the oracled
-    variant of the all-pairs baseline in `embedding_dups`."""
+    """Embedding near-dups via the scale path: two independent
+    hyperplane-LSH tables, bucket equi-joins, union of candidates, exact
+    cosine ≥ t — the oracled variant of the all-pairs baseline in
+    `embedding_dups` with the banding-style recall knob exercised."""
     from localmod_spark.operators.similarity import lsh_embedding_dups
     from localmod_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_embedding_dups(emb, dim=64, threshold=0.3, n_planes=8, seed=11).select(
+    return lsh_embedding_dups(
+        emb, dim=64, threshold=0.3, n_planes=8, seed=11, n_tables=2
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
@@ -756,17 +759,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _shipped(_q_events_daily),
         "set_ops": _shipped(_q_set_ops),
         "dedup_survivors": _shipped(_q_dedup_survivors),
-        # rows-only (Python-re / sketch semantics; oracle lives in pytest)
-        "moderation_pipeline": _shipped(_q_moderation),
-        "pii_scrub": _shipped(_q_pii_scrub),
-        "langid": _shipped(_q_langid),
-        "quality": _shipped(_q_quality),
+        # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
         "lsh_topk": _shipped(_q_lsh_topk),
         "ivf_topk": _shipped(_q_ivf_topk),
         "conv_context": _shipped(_q_conv_context),
         "media_features": _shipped(_q_media_features),
+        # rows-only (CPython-re-bound; value oracle lives in pytest — see
+        # tests/test_spark_parity.py and tests/test_reference_differential.py)
+        "moderation_pipeline": _shipped(_q_moderation),
+        "pii_scrub": _shipped(_q_pii_scrub),
+        "langid": _shipped(_q_langid),
+        "quality": _shipped(_q_quality),
     }
 
 
@@ -831,14 +836,17 @@ def _lsh_topk_sql(k: int = 10) -> str:
     """
 
 
-def _lsh_embedding_dups_sql(threshold: float = 0.3) -> str:
-    bucket = _sql_lsh_bucket("embedding")
+def _lsh_embedding_dups_sql(threshold: float = 0.3, n_tables: int = 2) -> str:
+    buckets = ", ".join(
+        f"{_sql_lsh_bucket('embedding', seed=11 + t)} AS b{t}" for t in range(n_tables)
+    )
+    any_table = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
     return f"""
-        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        WITH b AS (SELECT vec_id, embedding, {buckets} FROM embeddings)
         SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                    round({_sql_cos('a.embedding', 'c.embedding')}, 4) AS cosine
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            FROM b a JOIN b c ON ({any_table}) AND a.vec_id < c.vec_id
         ) WHERE cosine >= {threshold}
     """
 

@@ -91,23 +91,40 @@ def lsh_embedding_dups(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 11,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path.
 
     Same output contract as :func:`embedding_near_dups` but candidates
-    come from a bucket-equality *equi-join* on the hyperplane signature
-    (shuffle keyed on bucket) instead of the O(N²) cartesian: only pairs
-    whose vectors agree on every hyperplane sign are scored.  Recall
-    trade-off is explicit: a pair at cosine t survives all P planes with
-    probability (1 - arccos(t)/π)^P — near-identical vectors (the dedup
-    target) essentially always, mid-similarity pairs rarely.  Lower
-    ``n_planes`` (or OR multiple plane sets) to widen recall."""
-    b = with_lsh_bucket(embeddings, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "lsh_bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "lsh_bucket")
-    pairs = a.join(c, "lsh_bucket").where(F.col("id_a") < F.col("id_b"))
+    come from bucket-equality *equi-joins* on hyperplane signatures
+    (shuffles keyed on the bucket) instead of the O(N²) cartesian.
+    Recall trade-off is explicit and tunable on two axes, exactly like
+    MinHash banding: a pair at cosine t agrees with one table's P planes
+    with probability p = (1 - arccos(t)/π)^P, and is caught by at least
+    one of T independent tables with 1 - (1-p)^T.  Each table is its own
+    equi-join (never an OR-join, which would degrade to a cartesian);
+    candidate pairs are unioned and de-duplicated before the exact
+    cosine verification."""
+    sigs = embeddings
+    bucket_cols = []
+    for t in range(n_tables):
+        sigs = with_lsh_bucket(sigs, dim=dim, n_planes=n_planes, seed=seed + t, vec_col=vec_col)
+        col = f"_lsh_b{t}"
+        sigs = sigs.withColumnRenamed("lsh_bucket", col)
+        bucket_cols.append(col)
+    ids = sigs.select(F.col(id_col), *bucket_cols)
+    cands = None
+    for col in bucket_cols:
+        a = ids.select(F.col(id_col).alias("id_a"), F.col(col).alias("_b"))
+        c = ids.select(F.col(id_col).alias("id_b"), F.col(col).alias("_b"))
+        p = a.join(c, "_b").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
     cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
