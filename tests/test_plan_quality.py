@@ -103,11 +103,12 @@ def test_lsh_embedding_dups_is_equi_join(spark):
     from localmod_spark.operators.similarity import lsh_embedding_dups
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    plan = plan_of(lsh_embedding_dups(emb, dim=64, threshold=0.3))
+    plan = plan_of(lsh_embedding_dups(emb, dim=64, threshold=0.3, n_tables=2))
     assert "CartesianProduct" not in plan, plan
-    # bucket equality is the join key (hash or sort-merge both fine;
-    # what matters is it's keyed, with id_a < id_b as a residual filter)
-    assert "lsh_bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # bucket equality is each table's join key (hash or sort-merge both
+    # fine; what matters is it's keyed, id_a < id_b as a residual filter)
+    assert "_lsh_b0" in plan and "_lsh_b1" in plan
 
 
 def test_minhash_bucket_cap_prunes_before_join(spark):
