@@ -107,8 +107,9 @@ def test_lsh_embedding_dups_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # bucket equality is each table's join key (hash or sort-merge both
-    # fine; what matters is it's keyed, id_a < id_b as a residual filter)
-    assert "_lsh_b0" in plan and "_lsh_b1" in plan
+    # fine; what matters is it's keyed, id_a < id_b as a residual filter);
+    # the bucket column is aliased to _b in the candidate joins
+    assert "HashJoin [_b#" in plan or "Join [_b#" in plan, plan
 
 
 def test_minhash_bucket_cap_prunes_before_join(spark):
