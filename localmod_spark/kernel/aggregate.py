@@ -85,6 +85,33 @@ class PipelineConfig(NamedTuple):
 
 DEFAULT_CONFIG = PipelineConfig()
 
+
+def config_from_env(environ=None) -> PipelineConfig:
+    """Reference Settings parity: ``LOCALMOD_*_THRESHOLD`` environment
+    variables override per-classifier thresholds, exactly the lookup the
+    reference pipeline does (`src/localmod/pipeline.py:66-71` reading
+    `config.py:42-48`, env prefix ``LOCALMOD_`` per `config.py:60-62`).
+
+    Unset variables keep this repo's verified deterministic defaults
+    (each classifier's own default — e.g. toxicity 0.17 — rather than
+    Settings' flat 0.5, because the F1 gate is anchored on the verified
+    kernel configuration; exporting the env vars reproduces the
+    reference server's effective thresholds)."""
+    import os
+
+    env = os.environ if environ is None else environ
+
+    def _f(name: str, default: float) -> float:
+        v = env.get(name)
+        return float(v) if v is not None else default
+
+    return PipelineConfig(
+        toxicity_threshold=_f("LOCALMOD_TOXICITY_THRESHOLD", tox_mod.DEFAULT_THRESHOLD),
+        spam_threshold=_f("LOCALMOD_SPAM_THRESHOLD", spam_mod.DEFAULT_THRESHOLD),
+        injection_threshold=_f("LOCALMOD_PROMPT_INJECTION_THRESHOLD", inj_mod.DEFAULT_THRESHOLD),
+        nsfw_threshold=_f("LOCALMOD_NSFW_THRESHOLD", nsfw_mod.DEFAULT_THRESHOLD),
+    )
+
 # Registry order (`src/localmod/classifiers/__init__.py:29-35`).
 CLASSIFIER_ORDER = ("toxicity", "pii", "prompt_injection", "spam", "nsfw")
 

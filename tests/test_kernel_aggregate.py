@@ -91,3 +91,21 @@ def test_frame_empty_batch_returns_typed_empty_frame():
     assert len(out) == 0
     assert str(out["keep"].dtype) == "bool"
     assert str(out["redaction_count"].dtype) == "int64"
+
+
+def test_config_from_env_overrides_and_defaults():
+    from localmod_spark.kernel.aggregate import DEFAULT_CONFIG, config_from_env
+
+    cfg = config_from_env({})
+    assert cfg == DEFAULT_CONFIG  # unset env keeps the verified defaults
+    cfg2 = config_from_env(
+        {"LOCALMOD_TOXICITY_THRESHOLD": "0.5", "LOCALMOD_SPAM_THRESHOLD": "0.45"}
+    )
+    assert cfg2.toxicity_threshold == 0.5 and cfg2.spam_threshold == 0.45
+    assert cfg2.injection_threshold == DEFAULT_CONFIG.injection_threshold
+    # a raised threshold actually changes decisions
+    from localmod_spark.kernel.aggregate import analyze_text
+
+    t = "you are a complete idiot and a moron"
+    assert analyze_text(t)["tox_flagged"]
+    assert not analyze_text(t, cfg2._replace(toxicity_threshold=0.99))["tox_flagged"]
