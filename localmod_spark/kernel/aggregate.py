@@ -267,8 +267,23 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         # np.array over empty lists yields float64 and breaks the boolean
         # masks below; Arrow can also hand a UDF a zero-row batch
         return _empty_output_frame(idx)
+    s_arr = s.to_numpy()
     blank = s.str.strip() == ""  # blank guard, e.g. `pii.py:73`
+    blank_np = blank.to_numpy()
     enabled = set(cfg.classifiers)
+
+    def _ml_probs(fn) -> np.ndarray:
+        """Per-text ML probabilities, skipping blank rows — the scalar
+        path never invokes an ML fn on a blank (is_blank early-returns),
+        so the vectorized path must not either (an fn that chokes on ''
+        would otherwise diverge, and model forwards on discarded rows
+        are wasted work)."""
+        out = np.zeros(n)
+        nz = ~blank_np
+        k = int(nz.sum())
+        if k:
+            out[nz] = np.fromiter((fn(t) for t in s_arr[nz]), dtype=float, count=k)
+        return out
 
     # ---- spam (vectorized patterns + per-text caps ratio) ----
     spam_score = np.zeros(n)
@@ -279,16 +294,15 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             spam_masks.append((name, m))
             spam_score += np.where(m, weight, 0.0)
         caps = np.fromiter(
-            (spam_mod.caps_ratio(t) for t in s.to_numpy()), dtype=float, count=n
+            (spam_mod.caps_ratio(t) for t in s_arr), dtype=float, count=n
         )
         caps_mask = caps > 0.5
         spam_masks.append(("high_caps_ratio", caps_mask))
         spam_score = np.minimum(spam_score + np.where(caps_mask, 0.15, 0.0), 1.0)
         if cfg.spam_ml_fn is not None:  # `spam.py:102-105` blend
-            ml = np.fromiter((cfg.spam_ml_fn(t) for t in s.to_numpy()), dtype=float, count=n)
-            spam_score = 0.6 * ml + 0.4 * spam_score
+            spam_score = 0.6 * _ml_probs(cfg.spam_ml_fn) + 0.4 * spam_score
         spam_score = np.where(blank, 0.0, spam_score)
-    spam_flag = (spam_score >= cfg.spam_threshold) & ~blank.to_numpy() & ("spam" in enabled)
+    spam_flag = (spam_score >= cfg.spam_threshold) & ~blank_np & ("spam" in enabled)
 
     # ---- prompt injection (vectorized category masks) ----
     inj_cat_masks = []
@@ -300,9 +314,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
         inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
         if cfg.injection_ml_fn is not None:  # `prompt_injection.py:128-132`
-            ml = np.fromiter(
-                (cfg.injection_ml_fn(t) for t in s.to_numpy()), dtype=float, count=n
-            )
+            ml = _ml_probs(cfg.injection_ml_fn)
             combined = np.maximum(ml, inj_score)
             boost = (inj_n > 0) & (ml > 0.3)
             inj_score = np.where(boost, np.minimum(combined + 0.1, 1.0), combined)
@@ -310,7 +322,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         for cat, m in inj_cat_masks:
             if cat in inj_mod._CRITICAL_CATEGORIES:
                 inj_critical |= m
-    inj_flag = (inj_score >= cfg.injection_threshold) & ~blank.to_numpy() & ("prompt_injection" in enabled)
+    inj_flag = (inj_score >= cfg.injection_threshold) & ~blank_np & ("prompt_injection" in enabled)
 
     # ---- nsfw (vectorized keyword/safe layers + model-or-surrogate prob) ----
     nsfw_prob = np.zeros(n)
@@ -320,9 +332,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         safe_hit = s.str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
         safe = safe_hit & ~explicit  # `nsfw.py:82-87`
         if cfg.nsfw_prob_fn is not None:
-            nsfw_prob = np.fromiter(
-                (cfg.nsfw_prob_fn(t) for t in s.to_numpy()), dtype=float, count=n
-            )
+            nsfw_prob = _ml_probs(cfg.nsfw_prob_fn)
         else:
             suggestive = lowered.str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
             nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
@@ -330,7 +340,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
         )
         nsfw_prob = np.where(blank, 0.0, nsfw_prob)
-    nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank.to_numpy() & ("nsfw" in enabled)
+    nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank_np & ("nsfw" in enabled)
 
     # ---- per-text loops: toxicity lexicon/ensemble, pii scan/scrub, langid, quality ----
     if "toxicity" in enabled:
@@ -338,18 +348,17 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             # batched ensemble: one prob array per model, weighted blend +
             # renormalization (`toxicity.py:241-253` via ensemble_prob_batch)
             all_probs = {
-                name: np.fromiter((fn(t) for t in s.to_numpy()), dtype=float, count=n)
-                for name, fn in cfg.toxicity_model_fns.items()
+                name: _ml_probs(fn) for name, fn in cfg.toxicity_model_fns.items()
             }
-            tox_prob = np.where(blank.to_numpy(), 0.0, tox_mod.ensemble_prob_batch(all_probs))
+            tox_prob = np.where(blank_np, 0.0, tox_mod.ensemble_prob_batch(all_probs))
         else:
             tox_prob = np.fromiter(
-                (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s.to_numpy(), blank.to_numpy())),
+                (0.0 if b else tox_mod.surrogate_prob(t) for t, b in zip(s_arr, blank_np)),
                 dtype=float, count=n,
             )
     else:
         tox_prob = np.zeros(n)
-    tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank.to_numpy() & ("toxicity" in enabled)
+    tox_flag = (tox_prob >= cfg.toxicity_threshold) & ~blank_np & ("toxicity" in enabled)
 
     scrubbed: List[Optional[str]] = []
     redactions: List[list] = []
@@ -362,10 +371,9 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     qflag: List[bool] = []
     ntok: List[int] = []
     raw_arr = raw.to_numpy()
-    blank_arr = blank.to_numpy()  # positional indexing: .iloc per row costs ~10% of the batch
     pii_on = "pii" in enabled
-    for i, t in enumerate(s.to_numpy()):
-        if blank_arr[i] or not pii_on:
+    for i, t in enumerate(s_arr):
+        if blank_np[i] or not pii_on:
             scrub, hits = (t, [])
         else:
             scrub, hits = pii_scrub(t)
@@ -388,7 +396,7 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         qscore.append(quality_score(st))
         qflag.append(quality_flagged(st))
         ntok.append(st.n_tokens)
-    pii_flag = np.array([len(r) > 0 for r in redactions]) & ~blank.to_numpy() & pii_on
+    pii_flag = np.array([len(r) > 0 for r in redactions]) & ~blank_np & pii_on
     pii_conf = np.where(pii_flag, 1.0, 0.0)
 
     # ---- severities (vectorized bands, same cut points as kernel modules) ----

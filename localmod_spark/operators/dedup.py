@@ -261,6 +261,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["dst"] == labels["v"])
@@ -284,8 +285,19 @@ def dup_clusters(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # exhausting the rounds means some component's diameter exceeds
+        # max_iter — the labels are mid-propagation and one duplicate
+        # group would silently split into several clusters
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds: "
+            "a component's diameter exceeds the round budget.  Raise max_iter, "
+            "or switch to the O(log n)-round large/small-star algorithm for "
+            "adversarially deep duplicate chains."
+        )
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster"))
 
 

@@ -206,7 +206,8 @@ def classify_media_nsfw(
     narrow mapInPandas (payloads never shuffle), decision math from
     ``kernel/nsfw_image.py`` verbatim; the ViT forward pass is the fake
     decoder above (``decode="real"`` marks the codec slot)."""
-    from localmod_spark.kernel.nsfw_image import nsfw_image_prob, nsfw_image_result
+    from localmod_spark.kernel.nsfw_image import _severity as nsfw_severity
+    from localmod_spark.kernel.nsfw_image import nsfw_image_prob
 
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
@@ -221,15 +222,14 @@ def classify_media_nsfw(
             rows = []
             for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
                 probs = _fake_vit_probs(bytes(payload))
-                prob, label = nsfw_image_prob(probs)
-                r = nsfw_image_result(probs, threshold=threshold)
+                prob, label = nsfw_image_prob(probs)  # one decision pass per row
                 rows.append(
                     {
                         "media_id": mid,
                         "nsfw_prob": prob,
                         "predicted_label": label,
-                        "nsfw_flagged": r.flagged,
-                        "severity": r.severity,
+                        "nsfw_flagged": prob >= threshold,
+                        "severity": nsfw_severity(prob, threshold),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in NSFW_IMAGE_SCHEMA.fields])

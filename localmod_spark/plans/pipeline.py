@@ -130,6 +130,7 @@ def run_pipeline(
 
     staged = with_wave(turns, n_waves)
     cleanup = None
+    staging_dir = None
     if stage == "persist":
         from pyspark.storagelevel import StorageLevel
 
@@ -143,81 +144,92 @@ def run_pipeline(
     waves_run: List[int] = []
     total_rows = 0
 
-    for wave in range(n_waves):
-        if wave in done:
-            continue
-        started = time.time()
-        # At Iceberg scale this filter is a partition-pruning predicate.
-        wave_df = staged.where(F.col(WAVE_COL) == wave)
-        scored = score_turns(wave_df, cfg=cfg)
-        if context:
-            scored = add_context(scored)
+    try:
+        for wave in range(n_waves):
+            if wave in done:
+                continue
+            started = time.time()
+            # At Iceberg scale this filter is a partition-pruning predicate.
+            wave_df = staged.where(F.col(WAVE_COL) == wave)
+            scored = score_turns(wave_df, cfg=cfg)
+            if context:
+                scored = add_context(scored)
 
-        # observe() collects global counters in the same action as the
-        # write — no second pass over the data.
-        obs = Observation(f"wave_{wave}")
-        observed = scored.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("flagged").cast("long")).alias("flagged"),
-            F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
-            F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
-            F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
-            F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
-            F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
-            F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
-        )
-        # Plain overwrite of THIS wave's own directory: idempotent on
-        # rerun like dynamic partition overwrite, without its staging
-        # commit cost.  The hive-style dir name keeps the dataset readable
-        # as one wave-partitioned table.
-        (
-            observed.drop(WAVE_COL)
-            .write.mode("overwrite")
-            .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
-        )
-        obs_row = obs.get
-        rows = int(obs_row.get("rows") or 0)
-        finished = time.time()
-        total_rows += rows
+            # observe() collects global counters in the same action as the
+            # write — no second pass over the data.
+            obs = Observation(f"wave_{wave}")
+            observed = scored.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("flagged").cast("long")).alias("flagged"),
+                F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
+                F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
+                F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
+                F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
+                F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
+                F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
+            )
+            # Plain overwrite of THIS wave's own directory: idempotent on
+            # rerun like dynamic partition overwrite, without its staging
+            # commit cost.  The hive-style dir name keeps the dataset readable
+            # as one wave-partitioned table.
+            (
+                observed.drop(WAVE_COL)
+                .write.mode("overwrite")
+                .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
+            )
+            obs_row = obs.get
+            rows = int(obs_row.get("rows") or 0)
+            finished = time.time()
+            total_rows += rows
 
-        def _m(key: str) -> int:
-            v = obs_row.get(key)
-            return int(v) if v is not None else 0
+            def _m(key: str) -> int:
+                v = obs_row.get(key)
+                return int(v) if v is not None else 0
 
-        # Ledger rows are driver-side metadata (one row per wave) — append
-        # them directly with pyarrow instead of launching a Spark job per
-        # row.  At production scale this ledger is a catalog/Iceberg table;
-        # locally the dirs stay readable by spark.read.parquet.
-        _append_ledger_row(
-            _metrics_path(out_dir),
-            {
-                WAVE_COL: wave,
-                "turns": rows,
-                "flagged": _m("flagged"),
-                "pii_flagged": _m("pii"),
-                "tox_flagged": _m("tox"),
-                "inj_flagged": _m("inj"),
-                "spam_flagged": _m("spam"),
-                "nsfw_flagged": _m("nsfw"),
-                "redactions": _m("redactions"),
-                "wall_ms": round((finished - started) * 1000, 2),
-            },
-        )
-        _append_ledger_row(
-            _lineage_path(out_dir),
-            {
-                WAVE_COL: wave,
-                "status": "done",
-                "rows": rows,
-                "started": started,
-                "finished": finished,
-            },
-        )
-        waves_run.append(wave)
+            # Ledger rows are driver-side metadata (one row per wave) — append
+            # them directly with pyarrow instead of launching a Spark job per
+            # row.  At production scale this ledger is a catalog/Iceberg table;
+            # locally the dirs stay readable by spark.read.parquet.
+            _append_ledger_row(
+                _metrics_path(out_dir),
+                {
+                    WAVE_COL: wave,
+                    "turns": rows,
+                    "flagged": _m("flagged"),
+                    "pii_flagged": _m("pii"),
+                    "tox_flagged": _m("tox"),
+                    "inj_flagged": _m("inj"),
+                    "spam_flagged": _m("spam"),
+                    "nsfw_flagged": _m("nsfw"),
+                    "redactions": _m("redactions"),
+                    "wall_ms": round((finished - started) * 1000, 2),
+                },
+            )
+            _append_ledger_row(
+                _lineage_path(out_dir),
+                {
+                    WAVE_COL: wave,
+                    "status": "done",
+                    "rows": rows,
+                    "started": started,
+                    "finished": finished,
+                },
+            )
+            waves_run.append(wave)
+    finally:
+        # the persisted wave-keyed input must not outlive the run — a
+        # mid-run failure would otherwise pin the whole input in executor
+        # storage for the rest of the session
+        if cleanup is not None:
+            cleanup()
+    if staging_dir is not None:
+        # the staging copy is an internal intermediate: drop it once every
+        # wave has committed (on failure it is kept — a resume re-stages,
+        # and the partial dirs help debugging)
+        import shutil
 
-    if cleanup is not None:
-        cleanup()
+        shutil.rmtree(staging_dir, ignore_errors=True)
     return PipelineResult(
         out_dir=out_dir,
         waves_run=waves_run,

@@ -58,8 +58,10 @@ def job():
                      *[F.count(c).alias(f"c{{i}}") for i, c in enumerate(scored.columns)])
     agg.collect()
 job()  # full-pass warmup: every task slot spawns+imports its Python worker
+# SAME number of timed samples at every core count: best-of-2 on only the
+# big side of a pair would bias the N→4N ratio upward on a noisy box.
 best = 1e18
-for _ in range(1 if cores <= 2 else 2):
+for _ in range(2):
     t0 = time.time(); job(); best = min(best, time.time() - t0)
 tps = n_turns / best
 if cores == 1 and tps > 60_000:

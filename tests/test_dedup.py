@@ -169,3 +169,15 @@ def test_dup_clusters_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_dup_clusters_raises_on_round_exhaustion(spark):
+    """Exhausting max_iter would silently split a duplicate group — the
+    operator must refuse instead."""
+    from localmod_spark.operators.dedup import dup_clusters
+
+    n = 8
+    docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(docs2, pairs, max_iter=2)
