@@ -99,7 +99,8 @@ def test_stage_write_partition_pruned_equivalent(spark, tmp_path_factory):
     assert out.count() == N
     assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
     import os
-    assert os.path.isdir(d + "/_staging/wave=0")  # hive layout → pruning
+    # the staging copy is internal: dropped once every wave committed
+    assert not os.path.isdir(d + "/_staging")
 
 
 def test_unreadable_ledger_warns_not_silently_resets(spark, tmp_path_factory):
