@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 # ~1.5 kB of ordinary English prose (written for this module) used purely
 # as bigram-statistics seed material.
@@ -64,11 +64,25 @@ def _sym_indices(text: str) -> np.ndarray:
     return _BYTE_TO_SYM[np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)]
 
 
+def bigram_counts(text: str) -> np.ndarray:
+    """Raw (unsmoothed) 28×28 transition counts of one text."""
+    counts = np.zeros((_N_SYMBOLS, _N_SYMBOLS))
+    syms = _sym_indices(text)
+    if len(syms) >= 2:
+        np.add.at(counts, (syms[:-1], syms[1:]), 1.0)
+    return counts
+
+
+def logprob_table(counts: np.ndarray) -> np.ndarray:
+    """Add-one-smoothed row-normalized log-probability table from raw
+    transition counts — shared by the static seed table and the
+    corpus-trained one (operators/textstats.train_char_bigram_lm)."""
+    sm = counts + 1.0  # add-one smoothing
+    return np.log(sm / sm.sum(axis=1, keepdims=True))
+
+
 def _build_logprob_table() -> np.ndarray:
-    counts = np.ones((_N_SYMBOLS, _N_SYMBOLS))  # add-one smoothing
-    syms = _sym_indices(_SEED_CORPUS)
-    np.add.at(counts, (syms[:-1], syms[1:]), 1.0)
-    return np.log(counts / counts.sum(axis=1, keepdims=True))
+    return logprob_table(bigram_counts(_SEED_CORPUS))
 
 
 _LOGPROB = _build_logprob_table()
@@ -79,16 +93,20 @@ _ALPHA_RE = re.compile(r"[A-Za-z]")
 _SYMBOL_RE = re.compile(r"[#…]|\.\.\.")
 
 
-def char_perplexity(text: str) -> float:
+def char_perplexity(text: str, logprob_flat: Optional[np.ndarray] = None) -> float:
     """Bigram perplexity over UTF-8 bytes of the lowercased text; 0.0 for
     texts shorter than one transition.  Deterministic; higher = less
     English-like.  (Bytes, not code points: each byte of a multi-byte
     char counts as an OTHER transition — a vectorizable simplification
-    that only affects non-ASCII text, which scores as OTHER either way.)"""
+    that only affects non-ASCII text, which scores as OTHER either way.)
+
+    ``logprob_flat`` swaps in a corpus-trained table (flattened 28×28,
+    from :func:`logprob_table`); default = the static seed-corpus LM."""
+    table = _LOGPROB_FLAT if logprob_flat is None else logprob_flat
     syms = _sym_indices(text)
     if len(syms) < 2:
         return 0.0
-    total = _LOGPROB_FLAT[syms[:-1] * _N_SYMBOLS + syms[1:]].sum()
+    total = table[syms[:-1] * _N_SYMBOLS + syms[1:]].sum()
     return math.exp(-total / (len(syms) - 1))
 
 

@@ -75,3 +75,43 @@ def doc_text_features(documents: DataFrame) -> DataFrame:
         (F.length(F.regexp_replace(F.col("text"), "[^!?]", "")) >= 3).alias("has_punct_burst"),
         F.length("text").alias("n_chars_computed"),
     )
+
+
+def train_char_bigram_lm(documents: DataFrame, text_col: str = "text"):
+    """Fit the quality scorer's character-bigram LM on the corpus itself,
+    distributed (the KenLM-style step done Spark-first).
+
+    Map side: one 28×28 count matrix per Arrow batch (mapInPandas emits a
+    single 784-long array row per batch — thousands of texts collapse to
+    one row before anything shuffles).  Driver side: sum the per-batch
+    matrices (a few KB each), apply add-one smoothing and row-normalize
+    via :func:`localmod_spark.kernel.quality.logprob_table`.
+
+    Returns the (28, 28) log-probability ndarray — a model parameter.
+    Plug it into ``char_perplexity(text, logprob_flat=table.reshape(-1))``
+    or any scorer that accepts a custom table.  At 100 TB this is one
+    narrow pass with a ~3 KB-per-task reduce — train on the full corpus
+    or a sample, identical plan shape.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from localmod_spark.kernel.quality import _N_SYMBOLS, bigram_counts, logprob_table
+
+    out_schema = StructType([StructField("counts", ArrayType(LongType()), False)])
+
+    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros((_N_SYMBOLS, _N_SYMBOLS))
+            for t in pdf[text_col].fillna(""):
+                acc += bigram_counts(t)
+            yield pd.DataFrame({"counts": [acc.reshape(-1).astype(np.int64).tolist()]})
+
+    rows = documents.select(text_col).mapInPandas(_count_batches, schema=out_schema).collect()
+    total = np.zeros(_N_SYMBOLS * _N_SYMBOLS)
+    for r in rows:
+        total += np.array(r.counts, dtype=np.float64)
+    return logprob_table(total.reshape(_N_SYMBOLS, _N_SYMBOLS))

@@ -71,3 +71,31 @@ def test_quality_flags_degenerate():
 def test_quality_score_bounds():
     for t in ["nice text here", "zzz qqq xxx", "", "a" * 100]:
         assert 0.0 <= quality_score(quality_stats(t)) <= 1.0
+
+
+def test_train_char_bigram_lm_matches_seed_table(spark):
+    """Training on exactly the seed corpus must reproduce the static
+    import-time table bit-for-bit (same counts → same smoothing/log)."""
+    import numpy as np
+
+    from localmod_spark.kernel.quality import _LOGPROB, _SEED_CORPUS
+    from localmod_spark.operators.textstats import train_char_bigram_lm
+
+    df = spark.createDataFrame([(0, _SEED_CORPUS)], "doc_id long, text string")
+    trained = train_char_bigram_lm(df)
+    assert np.array_equal(trained, _LOGPROB)
+
+
+def test_trained_lm_scores_its_own_domain_lower(spark):
+    """An LM trained on a digit-heavy corpus should assign digit-heavy
+    text lower perplexity than the English seed LM does — and vice versa."""
+    from localmod_spark.kernel.quality import char_perplexity
+    from localmod_spark.operators.textstats import train_char_bigram_lm
+
+    digit_rows = [(i, "404 500 301 2024 12 31 99 1000 42 7 365 86400 " * 3) for i in range(40)]
+    df = spark.createDataFrame(digit_rows, "doc_id long, text string")
+    digit_lm = train_char_bigram_lm(df).reshape(-1)
+    probe = "2024 12 31 86400 99"
+    assert char_perplexity(probe, logprob_flat=digit_lm) < char_perplexity(probe)
+    english = "the quick brown fox jumps over the lazy dog"
+    assert char_perplexity(english) < char_perplexity(english, logprob_flat=digit_lm)
