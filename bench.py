@@ -102,7 +102,9 @@ def main() -> None:
     def _pipeline_write():
         out = "/tmp/bench_pipeline_out"
         _sh.rmtree(out, ignore_errors=True)
-        run_pipeline(spark, turns, out, n_waves=4, resume=False)
+        # concurrent waves: independent jobs fill slots a single small
+        # wave would leave idle (same per-wave commit/resume semantics)
+        run_pipeline(spark, turns, out, n_waves=4, resume=False, max_concurrent_waves=4)
 
     t0 = time.time()
     _pipeline_write()

@@ -105,6 +105,7 @@ def run_pipeline(
     context: bool = True,
     salt_buckets: int = 16,
     stage: str = "persist",
+    max_concurrent_waves: int = 1,
 ) -> PipelineResult:
     """Score every turn, wave by wave, committing lineage as we go.
 
@@ -123,6 +124,12 @@ def run_pipeline(
         staging entirely — ``"rescan"`` + pruning is free.
       * ``"rescan"``: filter the raw input per wave (n_waves full scans —
         only correct choice when the source itself partition-prunes).
+
+    ``max_concurrent_waves`` > 1 submits that many wave jobs at once from
+    driver threads — same per-wave commit/resume semantics, but the
+    scheduler can fill task slots one wave alone would leave idle (small
+    waves, write stalls).  Keep it modest: each in-flight wave holds its
+    own shuffle/write buffers.
     """
     cfg = cfg or DEFAULT_CONFIG
     if stage not in ("persist", "write", "rescan"):
@@ -141,82 +148,98 @@ def run_pipeline(
         staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
         staged = spark.read.parquet(staging_dir)
     done = completed_waves(spark, out_dir) if resume else set()
+    pending = [w for w in range(n_waves) if w not in done]
+
+    def _run_wave(wave: int) -> int:
+        started = time.time()
+        # At Iceberg scale this filter is a partition-pruning predicate.
+        wave_df = staged.where(F.col(WAVE_COL) == wave)
+        scored = score_turns(wave_df, cfg=cfg)
+        if context:
+            scored = add_context(scored)
+
+        # observe() collects global counters in the same action as the
+        # write — no second pass over the data.
+        obs = Observation(f"wave_{wave}")
+        observed = scored.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("flagged").cast("long")).alias("flagged"),
+            F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
+            F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
+            F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
+            F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
+            F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
+            F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
+        )
+        # Plain overwrite of THIS wave's own directory: idempotent on
+        # rerun like dynamic partition overwrite, without its staging
+        # commit cost.  The hive-style dir name keeps the dataset readable
+        # as one wave-partitioned table.
+        (
+            observed.drop(WAVE_COL)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
+        )
+        obs_row = obs.get
+        rows = int(obs_row.get("rows") or 0)
+        finished = time.time()
+
+        def _m(key: str) -> int:
+            v = obs_row.get(key)
+            return int(v) if v is not None else 0
+
+        # Ledger rows are driver-side metadata (one row per wave) — append
+        # them directly with pyarrow instead of launching a Spark job per
+        # row.  At production scale this ledger is a catalog/Iceberg table;
+        # locally the dirs stay readable by spark.read.parquet.
+        _append_ledger_row(
+            _metrics_path(out_dir),
+            {
+                WAVE_COL: wave,
+                "turns": rows,
+                "flagged": _m("flagged"),
+                "pii_flagged": _m("pii"),
+                "tox_flagged": _m("tox"),
+                "inj_flagged": _m("inj"),
+                "spam_flagged": _m("spam"),
+                "nsfw_flagged": _m("nsfw"),
+                "redactions": _m("redactions"),
+                "wall_ms": round((finished - started) * 1000, 2),
+            },
+        )
+        _append_ledger_row(
+            _lineage_path(out_dir),
+            {
+                WAVE_COL: wave,
+                "status": "done",
+                "rows": rows,
+                "started": started,
+                "finished": finished,
+            },
+        )
+        return rows
+
     waves_run: List[int] = []
     total_rows = 0
-
     try:
-        for wave in range(n_waves):
-            if wave in done:
-                continue
-            started = time.time()
-            # At Iceberg scale this filter is a partition-pruning predicate.
-            wave_df = staged.where(F.col(WAVE_COL) == wave)
-            scored = score_turns(wave_df, cfg=cfg)
-            if context:
-                scored = add_context(scored)
+        if max_concurrent_waves <= 1:
+            for wave in pending:
+                total_rows += _run_wave(wave)
+                waves_run.append(wave)
+        else:
+            # Waves are independent Spark jobs (disjoint output dirs,
+            # atomic ledger appends), so the driver can submit several at
+            # once and let the scheduler fill idle task slots — resume
+            # granularity and blast radius are unchanged (each wave still
+            # commits individually; a failure mid-fleet leaves the
+            # completed waves' ledger rows in place).
+            from concurrent.futures import ThreadPoolExecutor
 
-            # observe() collects global counters in the same action as the
-            # write — no second pass over the data.
-            obs = Observation(f"wave_{wave}")
-            observed = scored.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("flagged").cast("long")).alias("flagged"),
-                F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
-                F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
-                F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
-                F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
-                F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
-                F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
-            )
-            # Plain overwrite of THIS wave's own directory: idempotent on
-            # rerun like dynamic partition overwrite, without its staging
-            # commit cost.  The hive-style dir name keeps the dataset readable
-            # as one wave-partitioned table.
-            (
-                observed.drop(WAVE_COL)
-                .write.mode("overwrite")
-                .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
-            )
-            obs_row = obs.get
-            rows = int(obs_row.get("rows") or 0)
-            finished = time.time()
-            total_rows += rows
-
-            def _m(key: str) -> int:
-                v = obs_row.get(key)
-                return int(v) if v is not None else 0
-
-            # Ledger rows are driver-side metadata (one row per wave) — append
-            # them directly with pyarrow instead of launching a Spark job per
-            # row.  At production scale this ledger is a catalog/Iceberg table;
-            # locally the dirs stay readable by spark.read.parquet.
-            _append_ledger_row(
-                _metrics_path(out_dir),
-                {
-                    WAVE_COL: wave,
-                    "turns": rows,
-                    "flagged": _m("flagged"),
-                    "pii_flagged": _m("pii"),
-                    "tox_flagged": _m("tox"),
-                    "inj_flagged": _m("inj"),
-                    "spam_flagged": _m("spam"),
-                    "nsfw_flagged": _m("nsfw"),
-                    "redactions": _m("redactions"),
-                    "wall_ms": round((finished - started) * 1000, 2),
-                },
-            )
-            _append_ledger_row(
-                _lineage_path(out_dir),
-                {
-                    WAVE_COL: wave,
-                    "status": "done",
-                    "rows": rows,
-                    "started": started,
-                    "finished": finished,
-                },
-            )
-            waves_run.append(wave)
+            with ThreadPoolExecutor(max_workers=max_concurrent_waves) as ex:
+                for wave, rows in zip(pending, ex.map(_run_wave, pending)):
+                    total_rows += rows
+                    waves_run.append(wave)
     finally:
         # the persisted wave-keyed input must not outlive the run — a
         # mid-run failure would otherwise pin the whole input in executor

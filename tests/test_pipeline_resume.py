@@ -117,3 +117,21 @@ def test_unreadable_ledger_warns_not_silently_resets(spark, tmp_path_factory):
         waves = completed_waves(spark, d)
     assert waves == set()  # degraded to fresh run ...
     assert any("unreadable" in str(c.message) for c in caught)  # ... loudly
+
+
+def test_concurrent_waves_equal_sequential(spark, tmp_path_factory):
+    """max_concurrent_waves=4 must produce exactly the sequential output:
+    same rows, no duplicates, complete ledger."""
+    d = str(tmp_path_factory.mktemp("parallel_out"))
+    turns = synth_transcripts(spark, N, slices=4)
+    res = run_pipeline(
+        spark, turns, d, n_waves=WAVES, context=False, max_concurrent_waves=4
+    )
+    assert sorted(res.waves_run) == list(range(WAVES))
+    assert res.rows_written == N
+    out = read_output(spark, d)
+    assert out.count() == N
+    assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+    assert completed_waves(spark, d) == set(range(WAVES))
+    m = read_metrics(spark, d).toPandas()
+    assert m["turns"].sum() == N
