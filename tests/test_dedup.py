@@ -181,3 +181,35 @@ def test_dup_clusters_raises_on_round_exhaustion(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(docs2, pairs, max_iter=2)
+
+
+def test_dup_clusters_matches_union_find_on_random_graphs(spark):
+    """Differential check vs a pure-Python union-find on seeded random
+    graphs (the Spark result must be exactly the min-id component map)."""
+    import random
+
+    def union_find_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in range(n)}
+
+    from localmod_spark.operators.dedup import dup_clusters
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)})
+        docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs).collect()}
+        assert got == union_find_components(n, edges), f"seed {seed}"

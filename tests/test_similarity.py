@@ -133,3 +133,18 @@ def test_ivf_training_deterministic(spark):
     a = train_ivf_centroids(df, dim=DIM, n_lists=4, n_iter=3)
     b = train_ivf_centroids(df, dim=DIM, n_lists=4, n_iter=3)
     assert np.array_equal(a, b)
+
+
+def test_lsh_dups_subset_of_all_pairs(emb, spark):
+    """The bucketed near-dup set must be a subset of the exact all-pairs
+    set with identical cosines on the intersection (LSH may lose recall,
+    never invent pairs or change values)."""
+    from localmod_spark.operators.similarity import embedding_near_dups, lsh_embedding_dups
+
+    exact = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(emb, threshold=0.2).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in lsh_embedding_dups(emb, dim=DIM, threshold=0.2, n_planes=6, n_tables=2).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
+    assert lsh  # non-vacuous: the planted near-dup pair must be caught
+    assert (0, 999) in lsh
