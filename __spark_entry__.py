@@ -303,6 +303,24 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_simhash(docs, bits=16, token_hash="md5").select("doc_id", "simhash")
 
 
+def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding: 64-bit md5-token
+    signatures, 4×16-bit bands, exact-recall guarantee for hamming ≤ 3.
+    The whole candidate+verify path is JVM-side (equi-joins +
+    bit_count(xor)); the oracle recomputes signatures and all-pairs
+    hamming in SQL."""
+    from localmod_spark.operators.dedup import simhash_candidates, with_simhash
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = with_simhash(docs, bits=64, token_hash="md5")
+    return simhash_candidates(sigs, bits=64, n_bands=4, max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane-LSH ANN: the query's bucket plus every
     hamming-1 neighbor bucket (the standard recall knob)."""
@@ -780,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
+        "simhash_dups": _shipped(_q_simhash_dups),
         "lsh_topk": _shipped(_q_lsh_topk),
         "ivf_topk": _shipped(_q_ivf_topk),
         "conv_context": _shipped(_q_conv_context),
@@ -945,6 +964,43 @@ def _sql_gram_ctes(n: int = 3, src: str = "documents") -> str:
                        AS jaccard
             FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         )"""
+
+
+def _simhash64_dups_sql(max_hamming: int = 3) -> str:
+    """All-pairs hamming over DuckDB-recomputed 64-bit md5 simhash —
+    ground truth for the pigeonhole-banding candidates (recall there is
+    exact by construction, so the sets must be equal)."""
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> "
+        f"CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS h
+            FROM toks
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN raw >= 9223372036854775808::HUGEINT
+                             THEN raw - 18446744073709551616::HUGEINT
+                             ELSE raw END AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+                         CASE WHEN len(h) = 0 THEN 0::HUGEINT ELSE ({terms}) END AS raw
+                  FROM hs)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def _minhash_jaccard_sql(n: int = 3, threshold: float = 0.9) -> str:
@@ -1286,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_embedding_dups": _lsh_embedding_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "simhash": _simhash16_sql(),
+        "simhash_dups": _simhash64_dups_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "corpus_select": _corpus_select_sql(),

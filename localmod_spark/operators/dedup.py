@@ -357,6 +357,59 @@ def with_simhash(
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
 
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07).
+
+    Split the signature into ``n_bands`` equal slices; two signatures
+    within hamming distance ``n_bands - 1`` must agree EXACTLY on at
+    least one slice (pigeonhole) — so per-band equi-joins give 100%
+    recall for ``max_hamming <= n_bands - 1`` as a guarantee, not a
+    probability.  Verification is pure JVM arithmetic:
+    ``bit_count(xor)`` — no Python in the whole pipeline.  Shuffles are
+    keyed on 16-bit band values; a degenerate band (e.g. all-zero
+    signatures from empty docs) is the same giant-bucket hazard as
+    MinHash banding — run exact dedup upstream."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee requires max_hamming <= n_bands - 1 "
+            f"(got {max_hamming} > {n_bands - 1}); raise n_bands"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    ids = df.select(F.col(id_col), F.col(sim_col))
+    cands = None
+    for i in range(n_bands):
+        band = F.shiftrightunsigned(F.col(sim_col), i * band_bits).bitwiseAND(F.lit(mask))
+        side = ids.withColumn("_band", band)
+        a = side.select(
+            F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "_band"
+        )
+        b = side.select(
+            F.col(id_col).alias("id_b"), F.col(sim_col).alias("_sb"), "_band"
+        )
+        p = (
+            a.join(b, "_band")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_sa", "_sb")
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,

@@ -213,3 +213,34 @@ def test_dup_clusters_matches_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs).collect()}
         assert got == union_find_components(n, edges), f"seed {seed}"
+
+
+def test_simhash_candidates_pigeonhole_exact_recall(spark):
+    """4 bands guarantee 100% recall for hamming <= 3: the banded result
+    must EQUAL brute-force all-pairs hamming (not just approximate it)."""
+    from localmod_spark.operators.dedup import simhash_candidates, with_simhash
+
+    rows = [(i, f"token{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(80)]
+    rows += [(100 + i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = with_simhash(df, bits=64, token_hash="md5").persist()
+
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(sigs).collect()}
+    sh = {r.doc_id: r.simhash for r in sigs.collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and want  # equal AND non-vacuous (identical docs planted)
+    sigs.unpersist()
+
+
+def test_simhash_candidates_rejects_unsound_params(spark):
+    from localmod_spark.operators.dedup import simhash_candidates
+
+    df = spark.createDataFrame([(0, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidates(df, n_bands=4, max_hamming=4)
