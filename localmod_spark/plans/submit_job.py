@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-context", action="store_true", help="skip conversation-context features")
     p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic turns instead of --input")
     p.add_argument("--classifiers", default=None, help="comma list; default all five")
+    p.add_argument(
+        "--max-concurrent-waves", type=int, default=1,
+        help="submit this many wave jobs at once (scheduler fills idle slots)",
+    )
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
@@ -62,7 +66,7 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.addPyFile(zip_path)
 
-    from localmod_spark.kernel.aggregate import PipelineConfig
+    from localmod_spark.kernel.aggregate import config_from_env
     from localmod_spark.plans.pipeline import run_pipeline
     from localmod_spark.sources.transcripts import synth_transcripts
 
@@ -73,7 +77,8 @@ def main(argv=None) -> int:
     else:
         turns = spark.read.table(args.input)  # iceberg catalog table
 
-    cfg = PipelineConfig()
+    # thresholds: LOCALMOD_*_THRESHOLD env vars, reference-Settings style
+    cfg = config_from_env()
     if args.classifiers:
         cfg = cfg._replace(classifiers=tuple(args.classifiers.split(",")))
 
@@ -85,6 +90,7 @@ def main(argv=None) -> int:
         resume=not args.no_resume,
         cfg=cfg,
         context=not args.no_context,
+        max_concurrent_waves=args.max_concurrent_waves,
     )
     print(
         json.dumps(

@@ -1,0 +1,38 @@
+"""spark-submit entry (S3): end-to-end smoke via a real subprocess —
+the plain-script launch path (fresh JVM, package self-shipped, JSON
+summary on stdout), resume on re-invocation, and env-driven thresholds."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "localmod_spark", "plans", "submit_job.py")
+
+
+@pytest.mark.slow
+def test_submit_job_smoke_and_resume(tmp_path):
+    out = str(tmp_path / "job_out")
+    env = {**os.environ, "LOCALMOD_SPAM_THRESHOLD": "0.3"}
+
+    def run():
+        p = subprocess.run(
+            [sys.executable, SCRIPT, "--synthetic", "2000", "--output", out,
+             "--waves", "2", "--max-concurrent-waves", "2", "--no-context"],
+            capture_output=True, text=True, timeout=420, env=env, cwd="/tmp",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run()
+    assert sorted(first["waves_run"]) == [0, 1]
+    assert first["rows_written"] == 2000
+
+    second = run()  # the ledger must make the rerun a no-op
+    assert second["waves_run"] == []
+    assert second["waves_skipped"] == [0, 1]
+    assert os.path.isdir(out + "/data/wave=0") and os.path.isdir(out + "/_lineage")
