@@ -2,8 +2,9 @@
 
 from localmod_spark.streaming.score_stream import (
     conv_flag_counts_stream,
+    dedup_stream,
     conv_running_totals_stream,
     score_stream,
 )
 
-__all__ = ["score_stream", "conv_flag_counts_stream", "conv_running_totals_stream"]
+__all__ = ["score_stream", "conv_flag_counts_stream", "conv_running_totals_stream", "dedup_stream"]

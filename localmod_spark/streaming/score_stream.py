@@ -25,6 +25,23 @@ def score_stream(stream_df: DataFrame, cfg: PipelineConfig = None) -> DataFrame:
     return score_turns(stream_df, cfg=cfg or DEFAULT_CONFIG)
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols=("conv_id", "turn_idx"),
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-side exactly-once-ish dedup: drop redelivered turns whose
+    keys were already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the standard guard in front of
+    a scoring stream fed by an at-least-once bus.  State is bounded by
+    the watermark delay instead of growing forever (what a bare
+    ``dropDuplicates`` on a stream would do)."""
+    return stream_df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def conv_running_totals_stream(scored_stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation totals maintained
     across micro-batches via ``applyInPandasWithState`` — the pattern for

@@ -102,3 +102,29 @@ def test_stateful_running_totals_accumulate(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_dedup_drops_redeliveries(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: a doubled source collapses to one
+    row per (conv_id, turn_idx) within the watermark horizon."""
+    from localmod_spark.streaming.score_stream import dedup_stream
+
+    d = str(tmp_path_factory.mktemp("dup_stream_src"))
+    base = synth_transcripts(spark, 300, slices=2)
+    base.unionByName(base).write.mode("overwrite").parquet(d)  # every turn delivered twice
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(d)
+    deduped = dedup_stream(stream, delay="2 hours")
+    assert deduped.isStreaming
+    q = (
+        deduped.select("conv_id", "turn_idx")
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_mem")
+    assert out.count() == 300
+    assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
