@@ -105,6 +105,27 @@ def add_context(scored: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def add_context_bounded(scored: DataFrame, text_col: str = "text") -> DataFrame:
+    """W1+W2+W3 for PATHOLOGICAL hot conversations (millions of turns):
+    the ordered window is bounded by day — ``(conv_id, to_date(ts))`` —
+    so no single task ever sorts more than one conversation-day, while
+    the conversation-level aggregates (W2) come from the salted two-phase
+    plan joined back (AQE broadcasts the tiny feature side).
+
+    Trade-offs vs :func:`add_context` (documented, deliberate):
+    ``turn_rank`` restarts per day and ``is_repeat_turn`` can't see a
+    duplicate across a midnight boundary — repetition across days is
+    rare, and the alternative is serializing a million-turn sort on one
+    task.  Same output columns, so the two variants are drop-in."""
+    w_ord = Window.partitionBy("conv_id", F.to_date("ts")).orderBy("turn_idx")
+    h = F.xxhash64(F.col(text_col))
+    per_day = (
+        scored.withColumn("turn_rank", F.row_number().over(w_ord))
+        .withColumn("is_repeat_turn", F.coalesce(h == F.lag(h).over(w_ord), F.lit(False)))
+    )
+    return per_day.join(conv_features(scored), "conv_id", "left")
+
+
 def conv_grouped_features(
     scored: DataFrame,
     salt_buckets_hint: int = 0,  # reserved: pre-bucket huge convs by day upstream

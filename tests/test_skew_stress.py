@@ -75,3 +75,29 @@ def test_full_context_completes_under_skew(spark, skewed):
     hot = ctx.where(F.col("conv_id") == "hot-000").select("n_turns").first()
     assert hot.n_turns == int(N * 0.4)
     assert ctx.count() == N
+
+
+def test_bounded_context_caps_sort_width_and_keeps_totals(spark, skewed):
+    """add_context_bounded: per-day ordered windows (no task ever sorts
+    the whole 24k-turn hot conversation) with identical conversation
+    totals to the unbounded variant."""
+    from localmod_spark.operators.context import add_context_bounded
+
+    scored = score_turns(skewed).persist()
+    bounded = add_context_bounded(scored).persist()
+    assert bounded.count() == N  # no row loss through the join
+
+    # conversation totals equal the unbounded plan's
+    unb = {r.conv_id: (r.n_turns, r.n_flagged)
+           for r in add_context(scored).select("conv_id", "n_turns", "n_flagged").distinct().collect()}
+    bnd = {r.conv_id: (r.n_turns, r.n_flagged)
+           for r in bounded.select("conv_id", "n_turns", "n_flagged").distinct().collect()}
+    assert unb == bnd
+
+    # the ordered window really is day-bounded: ranks restart daily, so
+    # the max rank is one day of minute-spaced turns, not 24k
+    max_rank = bounded.agg(F.max("turn_rank")).collect()[0][0]
+    assert max_rank <= 1441, max_rank
+    assert bounded.where("conv_id = 'hot-000'").count() == int(N * 0.4)
+    bounded.unpersist()
+    scored.unpersist()
