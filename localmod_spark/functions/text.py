@@ -86,3 +86,24 @@ def quality_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"perplexity": ppl, "quality_score": qs, "quality_flagged": qf, "n_tokens": nt}
     )
+
+
+def perplexity_udf_with_lm(logprob_table):
+    """Factory: a perplexity UDF scored under a CORPUS-TRAINED bigram LM
+    (the output of ``operators.textstats.train_char_bigram_lm``) instead
+    of the static seed LM.  The (28×28) table is a model parameter — it
+    travels to executors inside the UDF closure (a few KB), exactly the
+    lazy-artifact pattern of SURVEY §7.4/S5."""
+    import numpy as np
+
+    from localmod_spark.kernel.quality import char_perplexity
+
+    flat = np.asarray(logprob_table, dtype=np.float64).reshape(-1)
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [char_perplexity(t, logprob_flat=flat) for t in texts.fillna("")]
+        )
+
+    return _ppl

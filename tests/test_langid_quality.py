@@ -1,5 +1,7 @@
 """Language-ID and quality-scoring kernels (north-rule additions)."""
 
+import pytest
+
 from localmod_spark.kernel.langid import detect_language
 from localmod_spark.kernel.quality import (
     char_perplexity,
@@ -99,3 +101,25 @@ def test_trained_lm_scores_its_own_domain_lower(spark):
     assert char_perplexity(probe, logprob_flat=digit_lm) < char_perplexity(probe)
     english = "the quick brown fox jumps over the lazy dog"
     assert char_perplexity(english) < char_perplexity(english, logprob_flat=digit_lm)
+
+
+def test_perplexity_udf_with_trained_lm_through_spark(spark):
+    """Train on the corpus, ship the table in a UDF closure, and assert
+    the Spark-side values equal the kernel's under the same table."""
+    from localmod_spark.functions.text import perplexity_udf_with_lm
+    from localmod_spark.kernel.quality import char_perplexity
+    from localmod_spark.operators.textstats import train_char_bigram_lm
+
+    rows = [(i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog",
+        "zzzz qqqq xxxx 9999 @@@@",
+        "a plain sentence about markets and weather",
+    ] * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    table = train_char_bigram_lm(df)
+    udf = perplexity_udf_with_lm(table)
+    from pyspark.sql import functions as F
+    got = {r.doc_id: r.p for r in df.withColumn("p", udf(F.col("text"))).collect()}
+    flat = table.reshape(-1)
+    for i, t in rows:
+        assert got[i] == pytest.approx(char_perplexity(t, logprob_flat=flat), abs=1e-12)
