@@ -271,12 +271,11 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = with_minhash(docs, num_hashes=64, shingle_k=3, shingle_mode="word")
-    # max_bucket=None: these queries are VALUE-equality gates vs an
-    # all-pairs oracle, so no qualifying pair may be dropped; the cap
-    # (on by default for scale jobs) is a recall trade-off that would
-    # break the oracle exactly when a >1000-wide boilerplate bucket
-    # appears.  Production selection jobs keep the cap and run
-    # exact_dedup first so identical boilerplate collapses upstream.
+    # max_bucket=None (the default — the cap is opt-in): these queries
+    # are VALUE-equality gates vs an all-pairs oracle, so no qualifying
+    # pair may be dropped.  Production selection jobs opt INTO the cap
+    # (a recall-for-boundedness trade) and run exact_dedup first so
+    # identical boilerplate collapses upstream.
     cands = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
     verified = ngram_jaccard(docs, cands, n=3)
     return (
@@ -676,12 +675,11 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = with_minhash(docs, num_hashes=64, shingle_k=3, shingle_mode="word")
-    # max_bucket=None: these queries are VALUE-equality gates vs an
-    # all-pairs oracle, so no qualifying pair may be dropped; the cap
-    # (on by default for scale jobs) is a recall trade-off that would
-    # break the oracle exactly when a >1000-wide boilerplate bucket
-    # appears.  Production selection jobs keep the cap and run
-    # exact_dedup first so identical boilerplate collapses upstream.
+    # max_bucket=None (the default — the cap is opt-in): these queries
+    # are VALUE-equality gates vs an all-pairs oracle, so no qualifying
+    # pair may be dropped.  Production selection jobs opt INTO the cap
+    # (a recall-for-boundedness trade) and run exact_dedup first so
+    # identical boilerplate collapses upstream.
     cands = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
     pairs = (
         ngram_jaccard(docs, cands, n=3)
@@ -712,12 +710,11 @@ def _q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     valid = with_validity(docs, max_len=400).where(F.col("valid")).drop("valid", "invalid_reason")
     sigs = with_minhash(valid, num_hashes=64, shingle_k=3, shingle_mode="word")
-    # max_bucket=None: these queries are VALUE-equality gates vs an
-    # all-pairs oracle, so no qualifying pair may be dropped; the cap
-    # (on by default for scale jobs) is a recall trade-off that would
-    # break the oracle exactly when a >1000-wide boilerplate bucket
-    # appears.  Production selection jobs keep the cap and run
-    # exact_dedup first so identical boilerplate collapses upstream.
+    # max_bucket=None (the default — the cap is opt-in): these queries
+    # are VALUE-equality gates vs an all-pairs oracle, so no qualifying
+    # pair may be dropped.  Production selection jobs opt INTO the cap
+    # (a recall-for-boundedness trade) and run exact_dedup first so
+    # identical boilerplate collapses upstream.
     cands = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
     pairs = (
         ngram_jaccard(valid, cands, n=3)

@@ -9,7 +9,7 @@ aggregation and AQE balances the bucket join.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -23,12 +23,17 @@ from pyspark.sql.types import ArrayType, LongType
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: representative id (min), group size.
 
-    Scale note: grouping key is the text itself so byte-identical dedup is
-    exact; at 100 TB pre-hash with xxhash64 and group on (hash) first,
-    verifying within groups — the optional ``prehash`` variant below.
+    Same (xxhash64, text) grouping key as :func:`exact_dedup`: the
+    leading 64-bit hash partitions and pre-sorts the shuffle cheaply,
+    while keeping the full text in the key makes the grouping
+    collision-proof — semantically identical to grouping on the text
+    alone (the hash is a function of the text), so any SQL oracle that
+    groups on text matches exactly.
     """
+    h = F.xxhash64(F.col(text_col))
     return (
-        df.groupBy(text_col)
+        df.select(F.col(id_col), h.alias("_h"), F.col(text_col).alias("_t"))
+        .groupBy("_h", "_t")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("rep_id", "n_dups")
     )
@@ -170,21 +175,35 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 8,
-    max_bucket: int = 1000,
+    max_bucket: Optional[int] = None,
+    stage: str = "persist",
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together → candidate pairs.
 
     Returns (id_a, id_b, n_bands_shared).  The explode keys the shuffle on
     (band_ix, band_hash).
 
+    The exploded (id, band_ix, band_hash) table is **persisted before
+    banding** (``stage="persist"``, MEMORY_AND_DISK): every consumer —
+    the bucket-width count, the semi-join probe side, and the self-join's
+    two sides — otherwise re-evaluates the upstream shingle+minhash
+    pandas UDF, the most expensive stage in the whole near-dup pipeline
+    (measured: 4 ArrowEvalPython evaluations, 0 exchange reuse).  The
+    persisted table is narrow (~24 B/row × bands), re-computable on
+    eviction, and is exactly the signature table a production selection
+    job stages to parquet for re-runs.  ``stage="none"`` opts out (e.g.
+    when the caller already staged signatures).
+
     Giant-bucket cap (the 100 TB guard): the self-join is quadratic
     *within* a bucket, so one boilerplate string repeated 1M times would
-    emit 10^12 candidate pairs from a single bucket.  Buckets wider than
-    ``max_bucket`` are dropped before the join, bounding the candidate
-    count at ``bands * max_bucket^2 / 2`` per pathological text.  A text
-    group that wide is byte-identical boilerplate in practice — run
-    :func:`exact_dedup` first so it collapses to one representative; pass
-    ``max_bucket=None`` to disable the cap.
+    emit 10^12 candidate pairs from a single bucket.  With
+    ``max_bucket=N``, buckets wider than N are dropped before the join,
+    bounding the candidate count at ``bands * max_bucket^2 / 2`` per
+    pathological text.  The cap is **opt-in** (default ``None``): it
+    silently trades recall for boundedness, so callers must choose it
+    knowingly — scale jobs should pass a cap AND run :func:`exact_dedup`
+    upstream so byte-identical boilerplate collapses to one
+    representative before sketching.
     """
     sig = F.col("minhash")
     band_arr = F.array(
@@ -199,6 +218,12 @@ def minhash_candidates(
     exploded = df.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
         id_col, "band.band_ix", "band.band_hash"
     )
+    if stage not in ("persist", "none"):
+        raise ValueError("stage must be 'persist' or 'none'")
+    if stage == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         # width count shares the join's shuffle key; the semi join prunes
         # pathological buckets before any pair is generated
@@ -223,11 +248,83 @@ def minhash_candidates(
     )
 
 
+def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the scale-safe fallback for
+    adversarially deep duplicate chains where plain min-label
+    propagation's O(diameter) rounds would exhaust any budget.
+
+    Input: undirected edges (id_a, id_b).  Output: (v, lbl) for every
+    vertex that appears in an edge, lbl = component min.  Each round is
+    two join+agg passes whose shuffles are keyed on vertex ids (the same
+    shape as one label-propagation round); the edge set provably
+    converges to a star per component in O(log n) rounds.
+
+      * large-star(E): for each u, attach every LARGER neighbor to
+        m = min(N(u) ∪ {u})  →  edges (v, m) for v ∈ N(u), v > u.
+      * small-star(E): orient edges big→small; for each u, attach u and
+        all (smaller) neighbors to m = min(N(u))  →  (v, m) ∪ (u, m).
+    """
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            directed.join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return nbr.union(self_edge).distinct()
+
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new.count()
+        unchanged = n_new == edges.count() and new.exceptAll(edges).isEmpty()
+        edges = new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"star_components did not converge in {max_iter} rounds — "
+            "O(log n) convergence makes this unreachable below ~2^40 vertices"
+        )
+    # converged edge set is a star per component: (child, root)
+    roots = edges.select(F.col("b").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    children = edges.select(F.col("a").alias("v"), F.col("b").alias("lbl"))
+    return children.union(roots).distinct()
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Near-dup CLUSTERING: connected components over candidate pairs →
     ``(id, cluster)`` where cluster = the component's min id.
@@ -238,11 +335,27 @@ def dup_clusters(
     to the symmetric edge list and takes the neighborhood min — one
     shuffle-join + one agg per round, O(graph diameter) rounds, with a
     driver-side convergence check.  Near-dup graphs are shallow (dups of
-    dups), so 2-4 rounds is typical; at adversarial 10^12-row scale swap
-    in large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce"), which keeps the same per-round shuffle shape but bounds
-    rounds at O(log n).  Singletons are their own cluster.
+    dups), so 2-4 rounds is typical.  Singletons are their own cluster.
+
+    ``algorithm``: ``"label"`` = min-label propagation only (raises on
+    round exhaustion); ``"star"`` = large/small-star from the start
+    (:func:`star_components`, O(log n) rounds — right when components
+    may be adversarially deep); ``"auto"`` (default) = propagate, and if
+    the round budget runs out, fall back to large/small-star instead of
+    failing — correctness is preserved either way.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError("algorithm must be 'auto', 'label' or 'star'")
+    if algorithm == "star":
+        labeled = star_components(pairs)
+        all_ids = df.select(F.col(id_col).alias("v")).distinct()
+        return (
+            all_ids.join(labeled, "v", "left")
+            .select(
+                F.col("v").alias(id_col),
+                F.coalesce(F.col("lbl"), F.col("v")).alias("cluster"),
+            )
+        )
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -292,11 +405,15 @@ def dup_clusters(
         # exhausting the rounds means some component's diameter exceeds
         # max_iter — the labels are mid-propagation and one duplicate
         # group would silently split into several clusters
+        if algorithm == "auto":
+            # scale-safe fallback: large/small-star finishes in O(log n)
+            # rounds regardless of component diameter
+            return dup_clusters(df, pairs, id_col=id_col, algorithm="star")
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} rounds: "
             "a component's diameter exceeds the round budget.  Raise max_iter, "
-            "or switch to the O(log n)-round large/small-star algorithm for "
-            "adversarially deep duplicate chains."
+            "use algorithm='auto' (falls back to large/small-star), or "
+            "algorithm='star' for adversarially deep duplicate chains."
         )
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster"))
 
@@ -364,6 +481,8 @@ def simhash_candidates(
     bits: int = 64,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
+    stage: str = "persist",
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling", WWW'07).
@@ -373,35 +492,67 @@ def simhash_candidates(
     least one slice (pigeonhole) — so per-band equi-joins give 100%
     recall for ``max_hamming <= n_bands - 1`` as a guarantee, not a
     probability.  Verification is pure JVM arithmetic:
-    ``bit_count(xor)`` — no Python in the whole pipeline.  Shuffles are
-    keyed on 16-bit band values; a degenerate band (e.g. all-zero
-    signatures from empty docs) is the same giant-bucket hazard as
-    MinHash banding — run exact dedup upstream."""
+    ``bit_count(xor)`` — no Python in the whole pipeline.
+
+    Same two scale guards as :func:`minhash_candidates`:
+
+      * the exploded (id, sig, band_ix, band_val) table is persisted
+        before banding (``stage="persist"``) so the upstream SimHash
+        pandas UDF evaluates once, not once per join side;
+      * the per-band equi-join is quadratic within a band value, and the
+        degenerate case is real (all-zero signatures from empty or
+        boilerplate docs collapse into one bucket per band) — with
+        ``max_bucket=N``, band buckets wider than N are dropped before
+        the join.  Opt-in (default ``None``) because it trades recall
+        (the pigeonhole guarantee no longer covers dropped buckets) for
+        boundedness; scale jobs pass a cap AND run exact dedup upstream.
+    """
     if max_hamming > n_bands - 1:
         raise ValueError(
             f"pigeonhole guarantee requires max_hamming <= n_bands - 1 "
             f"(got {max_hamming} > {n_bands - 1}); raise n_bands"
         )
+    if stage not in ("persist", "none"):
+        raise ValueError("stage must be 'persist' or 'none'")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    ids = df.select(F.col(id_col), F.col(sim_col))
-    cands = None
-    for i in range(n_bands):
-        band = F.shiftrightunsigned(F.col(sim_col), i * band_bits).bitwiseAND(F.lit(mask))
-        side = ids.withColumn("_band", band)
-        a = side.select(
-            F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "_band"
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_ix"),
+                F.shiftrightunsigned(F.col(sim_col), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), F.col(sim_col), F.explode(band_arr).alias("band")
+    ).select(id_col, sim_col, "band.band_ix", "band.band_val")
+    if stage == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket is not None:
+        narrow = (
+            exploded.groupBy("band_ix", "band_val")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .where(F.col("_w") <= max_bucket)
+            .select("band_ix", "band_val")
         )
-        b = side.select(
-            F.col(id_col).alias("id_b"), F.col(sim_col).alias("_sb"), "_band"
-        )
-        p = (
-            a.join(b, "_band")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "_sa", "_sb")
-        )
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+        exploded = exploded.join(narrow, ["band_ix", "band_val"], "left_semi")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "band_ix", "band_val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("_sb"), "band_ix", "band_val"
+    )
+    cands = (
+        a.join(b, ["band_ix", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
         cands.withColumn("hamming", ham)

@@ -171,16 +171,65 @@ def test_dup_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n)}
 
 
-def test_dup_clusters_raises_on_round_exhaustion(spark):
-    """Exhausting max_iter would silently split a duplicate group — the
-    operator must refuse instead."""
+def test_dup_clusters_label_mode_raises_on_round_exhaustion(spark):
+    """With algorithm='label', exhausting max_iter would silently split a
+    duplicate group — the operator must refuse instead."""
     from localmod_spark.operators.dedup import dup_clusters
 
     n = 8
     docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dup_clusters(docs2, pairs, max_iter=2)
+        dup_clusters(docs2, pairs, max_iter=2, algorithm="label")
+
+
+def test_dup_clusters_auto_falls_back_to_star_on_deep_chain(spark):
+    """A chain deeper than the propagation round budget must still
+    cluster correctly: auto mode switches to large/small-star (O(log n)
+    rounds) instead of raising."""
+    from localmod_spark.operators.dedup import dup_clusters
+
+    n = 20
+    docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster for r in dup_clusters(docs2, pairs, max_iter=3).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_matches_union_find_on_random_graphs(spark):
+    """large/small-star must produce exactly the min-id component map —
+    differential vs pure-Python union-find, including singletons via the
+    dup_clusters(algorithm='star') wrapper."""
+    import random
+
+    from localmod_spark.operators.dedup import dup_clusters
+
+    def union_find_components(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in range(n)}
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 50
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(30)})
+        docs2 = spark.createDataFrame([(i, f"d{i}") for i in range(n)], "doc_id long, text string")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.doc_id: r.cluster
+            for r in dup_clusters(docs2, pairs, algorithm="star").collect()
+        }
+        assert got == union_find_components(n, edges), f"seed {seed}"
 
 
 def test_dup_clusters_matches_union_find_on_random_graphs(spark):
@@ -244,3 +293,27 @@ def test_simhash_candidates_rejects_unsound_params(spark):
     df = spark.createDataFrame([(0, 0)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_candidates(df, n_bands=4, max_hamming=4)
+
+
+def test_simhash_bucket_cap_bounds_degenerate_signatures(spark):
+    """The docstring's own hazard: 300 boilerplate docs share one
+    signature → one bucket per band → ~45k pairs.  With max_bucket=50
+    the degenerate buckets are dropped and the planted near-dup pair
+    from a narrow bucket still comes through."""
+    from localmod_spark.operators.dedup import simhash_candidates, with_simhash
+
+    boiler = [(i, "standard disclaimer text repeated everywhere verbatim") for i in range(300)]
+    planted = [
+        (1000, "alpine meadow ecology studies span decades of careful fieldwork"),
+        (1001, "alpine meadow ecology studies span decades of careful fieldwork"),
+    ]
+    df = spark.createDataFrame(boiler + planted, "doc_id long, text string")
+    sigs = with_simhash(df, bits=64, token_hash="md5")
+
+    capped = simhash_candidates(sigs, max_bucket=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert len(got) <= 10  # quadratic blowup suppressed
+    assert (1000, 1001) in got  # planted pair survives the cap
+
+    uncapped = simhash_candidates(sigs, max_bucket=None)
+    assert uncapped.count() >= 300 * 299 // 2  # what the cap prevents

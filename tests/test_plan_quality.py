@@ -121,3 +121,44 @@ def test_minhash_bucket_cap_prunes_before_join(spark):
     sigs = with_minhash(docs, num_hashes=16)
     plan = plan_of(minhash_candidates(sigs, bands=4, rows_per_band=4, max_bucket=100))
     assert "LeftSemi" in plan, plan
+
+
+def test_minhash_sketch_udf_evaluates_once(spark):
+    """The round-2 scale flaw: the capped candidate plan evaluated the
+    shingle+minhash UDF 4× (width-count branch, semi-join probe, both
+    self-join sides).  With the exploded band table persisted, every
+    consumer reads the cache — the physical plan must contain exactly one
+    live ArrowEvalPython (inside the InMemoryRelation definition) and the
+    join inputs must be InMemoryTableScans."""
+    from localmod_spark.operators.dedup import minhash_candidates, with_minhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = with_minhash(docs, num_hashes=16)
+    cands = minhash_candidates(sigs, bands=4, rows_per_band=4, max_bucket=100)
+    try:
+        plan = plan_of(cands)
+        assert "InMemoryTableScan" in plan, plan
+        # Every printed ArrowEvalPython must belong to a cached relation's
+        # definition (the plan printer repeats the InMemoryRelation subtree
+        # under each scan).  Each cached relation contains exactly one
+        # sketch UDF, so any LIVE (uncached) UDF evaluation would make the
+        # ArrowEvalPython count exceed the InMemoryRelation count.
+        assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation"), plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_simhash_bucket_cap_prunes_before_join(spark):
+    """SimHash banding with the cap on: same LeftSemi prune as MinHash,
+    and the sketch UDF feeds a persisted relation."""
+    from localmod_spark.operators.dedup import simhash_candidates, with_simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = with_simhash(docs, bits=64)
+    try:
+        plan = plan_of(simhash_candidates(sigs, max_bucket=100))
+        assert "LeftSemi" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation"), plan
+    finally:
+        spark.catalog.clearCache()
