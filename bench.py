@@ -25,6 +25,30 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TURNS_PER_DOC = 40  # pipeline input size = 40 turns per document row
 
 
+def _wait_for_quiet(thresh: float = 4.0, max_wait_sec: int = 180) -> float:
+    """Contention guard: a concurrent Spark session on this box inflates
+    timings 2-13× (the round-2 recorded bench was exactly that artifact).
+    Wait for the 1-minute load average to drop below ``thresh`` before
+    measuring; if it never does, warn loudly on stderr and measure anyway
+    (the recorded loadavg lets a reader judge the run's trustworthiness)."""
+    t0 = time.time()
+    load1 = os.getloadavg()[0]
+    while load1 > thresh and time.time() - t0 < max_wait_sec:
+        print(
+            f"# bench: box busy (load1={load1:.1f} > {thresh}); waiting for quiet...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        load1 = os.getloadavg()[0]
+    if load1 > thresh:
+        print(
+            f"# bench: WARNING — still busy after {max_wait_sec}s (load1={load1:.1f}); "
+            "timings may be contention-inflated",
+            file=sys.stderr,
+        )
+    return round(load1, 2)
+
+
 def _force(df) -> int:
     """Force full computation of every row AND every column without
     collecting them (a bare count(1) would let Catalyst prune unused
@@ -45,6 +69,8 @@ def main() -> None:
     from localmod_spark.session import get_spark
     from localmod_spark.sources.tables import load_table
     from localmod_spark.sources.transcripts import synth_transcripts
+
+    load_before = _wait_for_quiet()
 
     spark = get_spark(
         app_name="localmod_spark_bench",
@@ -68,11 +94,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def bench(name: str, thunk) -> None:
+    def bench(name: str, thunk, cold: bool = False) -> None:
         # best of 2: first execution pays plan codegen + JIT (cluster jobs
-        # amortize it); this box also swings ±30% run to run
+        # amortize it); this box also swings ±30% run to run.
+        # cold=True for queries whose operators persist intermediates
+        # internally (minhash/simhash sketch staging, cluster edge sets):
+        # Spark's cache manager matches by logical plan, so a rebuilt plan
+        # would silently read run 1's cache and run 2 would time a cache
+        # scan, not the query.  Clearing between runs keeps the timing
+        # honest; the staged `turns` input is re-persisted outside the
+        # timer (it is input data, deliberately excluded from timings).
         best = float("inf")
         for _ in range(2):
+            if cold:
+                spark.catalog.clearCache()
+                turns.persist()
+                turns.count()
             t0 = time.time()
             thunk()
             best = min(best, time.time() - t0)
@@ -91,6 +128,7 @@ def main() -> None:
     bench(
         "minhash_dedup",
         lambda: _force(minhash_candidates(with_minhash(docs, num_hashes=64), bands=8, rows_per_band=8)),
+        cold=True,
     )
     bench("ann_topk", lambda: cosine_topk(emb, 0, 10).collect())
 
@@ -116,7 +154,8 @@ def main() -> None:
     for name in ("pricing_summary", "revenue_by_nation", "token_freq",
                  "pii_scrub", "sessionize", "media_features",
                  "dup_clusters", "corpus_select", "lsh_topk"):
-        bench(name, lambda name=name: _force(q[name](spark, SF_DIR)))
+        cold = name in ("dup_clusters", "corpus_select")  # persist internally
+        bench(name, lambda name=name: _force(q[name](spark, SF_DIR)), cold=cold)
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / timings["moderation_pipeline"], 1)
@@ -132,6 +171,8 @@ def main() -> None:
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "cpus": CPUS,
+                "load1_before": load_before,
+                "load1_after": round(os.getloadavg()[0], 2),
             }
         )
     )

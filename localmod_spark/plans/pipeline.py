@@ -55,6 +55,18 @@ def data_path(out_dir: str) -> str:
     return os.path.join(out_dir, "data")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for *path* via the JVM Hadoop FS API — the same
+    resolution Spark's own writers use, so ledger existence checks,
+    atomic renames and staging cleanup work on whatever filesystem
+    out_dir lives on (local, HDFS, s3a://, abfs://...), not just the
+    driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def completed_waves(spark: SparkSession, out_dir: str) -> set:
     """Waves the ledger marks done.  Missing ledger = fresh run.
 
@@ -64,7 +76,8 @@ def completed_waves(spark: SparkSession, out_dir: str) -> set:
     tmp-then-rename (:func:`_append_ledger_row`), so a crash mid-write
     never leaves a truncated part in the directory in the first place."""
     path = _lineage_path(out_dir)
-    if not os.path.isdir(path):
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         return set()
     try:
         rows = (
@@ -194,6 +207,7 @@ def run_pipeline(
         # row.  At production scale this ledger is a catalog/Iceberg table;
         # locally the dirs stay readable by spark.read.parquet.
         _append_ledger_row(
+            spark,
             _metrics_path(out_dir),
             {
                 WAVE_COL: wave,
@@ -209,6 +223,7 @@ def run_pipeline(
             },
         )
         _append_ledger_row(
+            spark,
             _lineage_path(out_dir),
             {
                 WAVE_COL: wave,
@@ -250,9 +265,8 @@ def run_pipeline(
         # the staging copy is an internal intermediate: drop it once every
         # wave has committed (on failure it is kept — a resume re-stages,
         # and the partial dirs help debugging)
-        import shutil
-
-        shutil.rmtree(staging_dir, ignore_errors=True)
+        fs, hstaging = _hadoop_fs(spark, staging_dir)
+        fs.delete(hstaging, True)
     return PipelineResult(
         out_dir=out_dir,
         waves_run=waves_run,
@@ -261,22 +275,34 @@ def run_pipeline(
     )
 
 
-def _append_ledger_row(dir_path: str, row: dict) -> None:
+def _append_ledger_row(spark: SparkSession, dir_path: str, row: dict) -> None:
     """Append one parquet file containing one ledger row, atomically:
-    write to a dot-prefixed temp name (invisible to Spark's file listing)
-    and rename into place — a crash mid-write can never leave a truncated
-    readable part that would poison every later ledger read."""
+    write the bytes locally, ship them to a dot-prefixed temp name on the
+    TARGET filesystem (invisible to Spark's file listing) and rename into
+    place — a crash mid-write can never leave a truncated readable part
+    that would poison every later ledger read.  All target-side ops go
+    through the Hadoop FS API so the ledger works wherever out_dir lives
+    (HDFS/S3A/ABFS), not only on the driver's local disk."""
+    import tempfile
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(dir_path, exist_ok=True)
-    table = pa.Table.from_pylist([row])
-    final = os.path.join(dir_path, f"part-{row[WAVE_COL]:05d}-{uuid.uuid4().hex}.parquet")
-    tmp = os.path.join(dir_path, f".{os.path.basename(final)}.tmp")
-    pq.write_table(table, tmp)
-    os.rename(tmp, final)
+    fs, hdir = _hadoop_fs(spark, dir_path)
+    fs.mkdirs(hdir)
+    name = f"part-{row[WAVE_COL]:05d}-{uuid.uuid4().hex}.parquet"
+    jvm = spark._jvm
+    tmp_target = jvm.org.apache.hadoop.fs.Path(os.path.join(dir_path, f".{name}.tmp"))
+    final = jvm.org.apache.hadoop.fs.Path(os.path.join(dir_path, name))
+    with tempfile.TemporaryDirectory() as td:
+        local = os.path.join(td, name)
+        pq.write_table(pa.Table.from_pylist([row]), local)
+        fs.copyFromLocalFile(
+            False, True, jvm.org.apache.hadoop.fs.Path("file:" + local), tmp_target
+        )
+    if not fs.rename(tmp_target, final):
+        raise IOError(f"ledger rename failed: {tmp_target} -> {final}")
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

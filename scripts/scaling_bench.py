@@ -64,9 +64,27 @@ best = 1e18
 for _ in range(2):
     t0 = time.time(); job(); best = min(best, time.time() - t0)
 tps = n_turns / best
-if cores == 1 and tps > 60_000:
-    raise RuntimeError(f"implausible single-core throughput {{tps:,.0f}} turns/s — "
-                       "the scoring UDF was pruned; timing is fake")
+if cores == 1:
+    # Anti-fake-timing guard #3: the ceiling is DERIVED, not hard-coded —
+    # time the raw scoring kernel (no Spark) on this same pinned core and
+    # allow 5x headroom (the Spark job does strictly MORE work per turn:
+    # context window + Arrow ser/de).  A pruned-UDF plan measured 80x the
+    # kernel rate in round 1; a legitimate kernel speedup moves the
+    # ceiling with it.  SPARK_GRAFT_SCALING_CEILING overrides (turns/s).
+    import os as _os
+    import pandas as _pd
+    from localmod_spark.kernel.aggregate import analyze_frame
+    from localmod_spark.sources.transcripts import CORPUS
+    _texts = _pd.Series([CORPUS[i % len(CORPUS)] for i in range(4000)])
+    analyze_frame(_texts[:500])  # warm regex/JIT caches
+    _t0 = time.time(); analyze_frame(_texts)
+    kernel_tps = 4000 / (time.time() - _t0)
+    ceiling = float(_os.environ.get("SPARK_GRAFT_SCALING_CEILING", "0")) or 5 * kernel_tps
+    if tps > ceiling:
+        raise RuntimeError(
+            f"implausible single-core throughput {{tps:,.0f}} turns/s vs measured "
+            f"kernel rate {{kernel_tps:,.0f}}/s (ceiling {{ceiling:,.0f}}) — "
+            "the scoring UDF was pruned; timing is fake")
 print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(best, 3),
                                "turns_per_sec": round(tps, 1)}}))
 spark.stop()
@@ -200,8 +218,9 @@ Three fake-timing traps found and closed this round (round-1's reported
    and the window — a fake ~800k turns/sec single-core "pipeline" (an
    empty persisted-scan count).  The timed aggregation now counts EVERY
    output column, and the harness refuses to report single-core
-   throughput above 60k turns/sec (the real kernel does ~10k/s/core), so
-   a pruned plan fails loudly instead of flattering the numbers.
+   throughput above 5x a kernel rate it MEASURES on the same pinned core
+   in the same run (a derived ceiling, so a genuine kernel speedup moves
+   it; a pruned plan — 80x the kernel rate — still fails loudly).
 2. **Shuffle reuse**: re-collecting the SAME DataFrame object reuses the
    first run's shuffle files — the pre-exchange scoring stage is skipped
    entirely (right answer, no cost).  The plan is rebuilt inside every
