@@ -800,12 +800,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _shipped(_q_ivf_topk),
         "conv_context": _shipped(_q_conv_context),
         "media_features": _shipped(_q_media_features),
-        # rows-only (CPython-re-bound; value oracle lives in pytest — see
-        # tests/test_spark_parity.py and tests/test_reference_differential.py)
-        "moderation_pipeline": _shipped(_q_moderation),
-        "pii_scrub": _shipped(_q_pii_scrub),
+        # SQL-checkable via generated oracles (kernel parameter tables —
+        # bigram logprobs, stopword profiles — embedded as SQL literals)
         "langid": _shipped(_q_langid),
         "quality": _shipped(_q_quality),
+        # rows-only (CPython-re-bound scrub/regex paths; value oracle lives
+        # in pytest — tests/test_spark_parity.py and
+        # tests/test_reference_differential.py diff them against the actual
+        # reference implementation)
+        "moderation_pipeline": _shipped(_q_moderation),
+        "pii_scrub": _shipped(_q_pii_scrub),
     }
 
 
@@ -1053,6 +1057,139 @@ def _corpus_select_sql(n: int = 3, threshold: float = 0.9) -> str:
                    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
             FROM docs_v d JOIN reps r ON d.doc_id = r.v
         ) WHERE n_tokens BETWEEN 5 AND 1000
+    """
+
+
+def _quality_sql() -> str:
+    """Byte-exact SQL mirror of kernel/quality.py: the 28×28 char-bigram
+    logprob table and the byte→symbol map are model PARAMETERS (a few KB,
+    deterministic at import), so they embed as SQL literals — the same
+    trick as the ANN plane/centroid literals above.  Perplexity is
+    recomputed over the UTF-8 BYTES of the lowercased text (via
+    hex(encode(...)) → per-byte table lookups), exactly the kernel's
+    vectorized semantics including the multi-byte-char-as-OTHER rule, so
+    the oracle holds on any input, not just ASCII fixtures."""
+    from localmod_spark.kernel.quality import _BYTE_TO_SYM, _LOGPROB_FLAT
+
+    lp = "[" + ", ".join(repr(float(v)) for v in _LOGPROB_FLAT) + "]"
+    bs = "[" + ", ".join(str(int(v)) for v in _BYTE_TO_SYM) + "]"
+    return f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   hex(encode(lower(text))) AS hx,
+                   octet_length(encode(lower(text))) AS nb
+            FROM documents
+        ),
+        syms AS (
+            SELECT doc_id, text, nb,
+                   list_transform(range(1, CAST(nb + 1 AS INT)),
+                       i -> ({bs})[('0x' || substr(hx, CAST(2*i-1 AS INT), 2))::INT + 1]) AS s
+            FROM b
+        ),
+        ppl AS (
+            SELECT doc_id, text,
+                   CASE WHEN nb < 2 THEN 0.0
+                        ELSE exp(-list_sum(list_transform(range(1, CAST(nb AS INT)),
+                                 i -> ({lp})[s[i]*28 + s[i+1] + 1])) / (nb - 1)) END AS ppl_raw
+            FROM syms
+        ),
+        stats AS (
+            SELECT doc_id, ppl_raw,
+                   len(t) AS n,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(t, x -> length(x)))
+                             / CAST(len(t) AS DOUBLE) END AS mwl,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha,
+                   CASE WHEN len(t) >= 2
+                        THEN 1.0 - len(list_distinct(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1]))) / CAST(len(t) - 1 AS DOUBLE)
+                        ELSE 0.0 END AS dup
+            FROM (SELECT doc_id, text, ppl_raw,
+                         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+                  FROM ppl)
+        ),
+        eff AS (SELECT *, CASE WHEN n = 0 THEN 0.0 ELSE ppl_raw END AS ppl FROM stats)
+        SELECT doc_id,
+               round(ppl, 4) AS perplexity,
+               CASE WHEN n = 0 THEN 1.0
+                    ELSE greatest(0.0, round(1.0 - (
+                          least(greatest(ppl - 18.0, 0.0) / 10.0, 0.4)
+                        + least(dup * 0.3, 0.3)
+                        + least(greatest(mwl - 12.0, 0.0) / 30.0, 0.2)
+                        + CASE WHEN n >= 20
+                               THEN least(greatest(0.05 - alpha, 0.0) * 4.0, 0.1)
+                               ELSE 0.0 END), 6)) END AS quality_score,
+               CASE WHEN n = 0 THEN FALSE
+                    WHEN mwl > 30.0 THEN TRUE
+                    WHEN n >= 20 AND alpha < 0.05 THEN TRUE
+                    WHEN ppl > 26.0 AND n >= 5 THEN TRUE
+                    ELSE FALSE END AS quality_flagged,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM eff
+    """
+
+
+def _langid_sql() -> str:
+    """SQL mirror of kernel/langid.py's two-stage identifier: script vote
+    (Unicode-range regexes, first hit wins, non-ASCII texts only), then
+    Latin stopword profiles scored hits/tokens with a 0.2 diacritic bonus
+    and strict-> first-max tie-break.  Profile word lists / regexes embed
+    as literals generated from the SAME kernel constants.  (Caveat: the
+    script-stage confidence divides by RE2's ``\\s``-nonspace count vs
+    Python's ``isspace`` — identical on ASCII and on every common script;
+    the driver tables are ASCII where the stages agree exactly.)"""
+    from localmod_spark.kernel.langid import _LATIN_PROFILES, _SCRIPT_RANGES, _WORD_RE
+
+    def q(s: str) -> str:  # SQL string literal escape
+        return s.replace("'", "''")
+
+    word_pat = q(_WORD_RE.pattern)
+    ascii_check = "(octet_length(encode(text)) = length(text))"
+    nonspace = "greatest(length(regexp_replace(text, '\\s', '', 'g')), 1)"
+    script_arms = "\n".join(
+        f"WHEN NOT {ascii_check} AND len(regexp_extract_all(text, '{q(pat)}')) > 0 "
+        f"THEN '{lang}'"
+        for lang, pat in _SCRIPT_RANGES
+    )
+    script_conf_arms = "\n".join(
+        f"WHEN NOT {ascii_check} AND len(regexp_extract_all(text, '{q(pat)}')) > 0 "
+        f"THEN least(len(regexp_extract_all(text, '{q(pat)}')) / CAST({nonspace} AS DOUBLE), 1.0)"
+        for lang, pat in _SCRIPT_RANGES
+    )
+    langs_lit = "[" + ", ".join(f"'{lang}'" for lang, _, _ in _LATIN_PROFILES) + "]"
+    score_exprs = []
+    for lang, words, chars in _LATIN_PROFILES:
+        words_lit = "[" + ", ".join(f"'{q(w)}'" for w in sorted(words)) + "]"
+        s = f"(len(list_filter(t, x -> list_contains({words_lit}, x))) / CAST(len(t) AS DOUBLE))"
+        if chars:
+            s += (
+                f" + (CASE WHEN NOT {ascii_check} AND "
+                f"regexp_matches(lower(text), '{q(chars)}') THEN 0.2 ELSE 0.0 END)"
+            )
+        score_exprs.append(s)
+    scores_lit = "[" + ", ".join(score_exprs) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '{word_pat}') AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text, t,
+                   CASE {script_arms} ELSE NULL END AS script_lang,
+                   CASE {script_conf_arms} ELSE NULL END AS script_conf,
+                   CASE WHEN len(t) = 0 THEN NULL ELSE {scores_lit} END AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN script_lang IS NOT NULL THEN script_lang
+                    WHEN s IS NULL OR list_max(s) = 0.0 THEN 'und'
+                    ELSE ({langs_lit})[list_position(s, list_max(s))] END AS lang_detected,
+               round(CASE WHEN script_lang IS NOT NULL THEN script_conf
+                          WHEN s IS NULL OR list_max(s) = 0.0 THEN 0.0
+                          ELSE least(list_max(s), 1.0) END, 4) AS lang_conf
+        FROM scored
     """
 
 
@@ -1344,4 +1481,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(),
         "corpus_select": _corpus_select_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
+        "quality": _quality_sql(),
+        "langid": _langid_sql(),
     }
