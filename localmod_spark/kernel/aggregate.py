@@ -81,6 +81,12 @@ class PipelineConfig(NamedTuple):
     injection_ml_fn: Optional[Callable[[str], float]] = None
     nsfw_prob_fn: Optional[Callable[[str], float]] = None
     toxicity_model_fns: Optional[Mapping[str, Callable[[str], float]]] = None
+    # Batched per-model scorers (list[str] → array of probs), the actual
+    # transformer-inference shape of the reference's `predict_batch`
+    # (`toxicity.py:191-275`): one tokenize→forward→prob call per model
+    # per Arrow batch instead of per text.  Takes precedence over
+    # ``toxicity_model_fns`` when both are set.
+    toxicity_model_batch_fns: Optional[Mapping[str, Callable[[List[str]], "np.ndarray"]]] = None
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -153,8 +159,16 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
     def off(name: str) -> KernelResult:
         return blank(name, False, 0.0, NONE, ())
 
+    # batch fns adapt to the scalar contract via a singleton batch, so the
+    # scalar and vectorized paths stay decision-identical by construction
+    tox_fns = cfg.toxicity_model_fns
+    if cfg.toxicity_model_batch_fns:
+        tox_fns = {
+            name: (lambda txt, _f=fn: float(np.asarray(_f([txt]))[0]))
+            for name, fn in cfg.toxicity_model_batch_fns.items()
+        }
     tox = (
-        toxicity_result(t, cfg.toxicity_threshold, model_prob_fns=cfg.toxicity_model_fns)
+        toxicity_result(t, cfg.toxicity_threshold, model_prob_fns=tox_fns)
         if "toxicity" in enabled
         else off("toxicity")
     )
@@ -342,9 +356,30 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
         nsfw_prob = np.where(blank, 0.0, nsfw_prob)
     nsfw_flag = (nsfw_prob >= cfg.nsfw_threshold) & ~blank_np & ("nsfw" in enabled)
 
+    def _ml_probs_batched(fn) -> np.ndarray:
+        """One batched model call over the non-blank rows — the actual
+        tokenize→forward→prob shape of the reference's ``predict_batch``
+        (`toxicity.py:199-238`): blank rows are filtered out first and
+        results land back at their original indices, exactly its
+        valid_indices bookkeeping."""
+        out = np.zeros(n)
+        nz = ~blank_np
+        if int(nz.sum()):
+            out[nz] = np.asarray(fn(list(s_arr[nz])), dtype=float)
+        return out
+
     # ---- per-text loops: toxicity lexicon/ensemble, pii scan/scrub, langid, quality ----
     if "toxicity" in enabled:
-        if cfg.toxicity_model_fns:
+        if cfg.toxicity_model_batch_fns:
+            # the real inference-stage shape: per model, ONE batched
+            # tokenize→forward→prob call per Arrow batch, then the
+            # weighted blend + renormalization (`toxicity.py:241-253`)
+            all_probs = {
+                name: _ml_probs_batched(fn)
+                for name, fn in cfg.toxicity_model_batch_fns.items()
+            }
+            tox_prob = np.where(blank_np, 0.0, tox_mod.ensemble_prob_batch(all_probs))
+        elif cfg.toxicity_model_fns:
             # batched ensemble: one prob array per model, weighted blend +
             # renormalization (`toxicity.py:241-253` via ensemble_prob_batch)
             all_probs = {
