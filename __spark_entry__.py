@@ -752,6 +752,43 @@ def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rate sampling (the training-mix knob):
+    keep-decision = md5-hash uniform of doc_id vs the stratum's rate —
+    reproducible across reruns/partitionings (checkpoint-resume safe),
+    shuffle-free, and engine-independent so DuckDB reproduces the exact
+    keep set."""
+    from localmod_spark.operators.sampling import sample_stratified
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_stratified(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _q_conv_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-stable conversation concatenation (the byte-exact input to
+    conversation-granularity dedup), value-pinned via md5 of the joined
+    text: any ordering instability in the aggregate flips the digest.
+    Pseudo-conversations = blocks of 5 documents (the driver tables have
+    no transcript table; the operator is conversation-shape-generic)."""
+    from localmod_spark.operators.context import conv_text
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "conv", F.floor(F.col("doc_id") / F.lit(5)).cast("long")
+    )
+    agg = conv_text(docs, conv_col="conv", order_col="doc_id", text_col="text")
+    return agg.select(
+        "conv",
+        F.md5(F.col("conv_text")).alias("text_md5"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.length("conv_text").cast("long").alias("n_chars"),
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -792,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _shipped(_q_events_daily),
         "set_ops": _shipped(_q_set_ops),
         "dedup_survivors": _shipped(_q_dedup_survivors),
+        "stratified_sample": _shipped(_q_stratified_sample),
+        "conv_text_stats": _shipped(_q_conv_text_stats),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1426,6 +1465,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": """
             SELECT doc_id FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.1
+                              ELSE 0.05 END
+        """,
+        "conv_text_stats": """
+            SELECT doc_id // 5 AS conv,
+                   md5(string_agg(text, chr(10) ORDER BY doc_id)) AS text_md5,
+                   count(*) AS n_turns,
+                   length(string_agg(text, chr(10) ORDER BY doc_id)) AS n_chars
+            FROM documents GROUP BY 1
         """,
         "media_features": """
             WITH ids AS (

@@ -175,6 +175,38 @@ def conv_grouped_features(
     return slim.groupBy("conv_id").applyInPandas(_per_conv, schema=out_schema)
 
 
+def conv_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Order-stable conversation concatenation: one row per conversation,
+    turns joined by ``sep`` in ``order_col`` order — the byte-exact input
+    to conversation-granularity dedup (a whole-conversation duplicate is
+    invisible at turn granularity).
+
+    One exchange on conv_col; ordering is enforced INSIDE the aggregate
+    (collect_list of (order, text) structs → array_sort → join), not by a
+    pre-sort — sortWithinPartitions before a hash aggregate is not
+    guaranteed to survive partial aggregation, so relying on it would be
+    silently order-unstable.  Same skew note as every per-conversation
+    grouping: bound pathological conversations upstream."""
+    pair = F.struct(F.col(order_col).alias("_o"), F.col(text_col).alias("_t"))
+    return (
+        df.groupBy(conv_col)
+        .agg(F.array_sort(F.collect_list(pair)).alias("_pairs"))
+        .select(
+            conv_col,
+            F.array_join(F.transform(F.col("_pairs"), lambda p: p["_t"]), sep).alias(
+                "conv_text"
+            ),
+            F.size("_pairs").alias("n_turns"),
+        )
+    )
+
+
 def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """W3: adjacent-duplicate-turn detection via lag over the turn order.
 
