@@ -789,6 +789,99 @@ def _q_conv_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): for each purchase, the latest
+    at-or-before click by the same user — implemented as the
+    union-and-window merge (ONE exchange, no join node).  Right-side
+    (user, ts) ties are pre-resolved to max event_id, the determinism
+    every engine's as-of requires.  Oracle: DuckDB's native ASOF JOIN."""
+    from localmod_spark.operators.asof import as_of_join
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = as_of_join(purchases, clicks, ["user_id"], right_cols=["click_event_id", "ts"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        j.where(F.col("asof_click_event_id").isNotNull())
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("asof_click_event_id").cast("long").alias("click_event_id"),
+            F.round((us("ts") - us("asof_ts")) / 1e6, 2).alias("gap_seconds"),
+        )
+    )
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time binning: clicks falling inside each user's
+    [first purchase, +1 day] window — interval exploded to hour bins,
+    equi-join on (user, bin), exact BETWEEN as residual (a pure
+    inequality join would plan BroadcastNestedLoopJoin)."""
+    from localmod_spark.operators.asof import interval_join
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 1 DAY"))
+    )
+    clicks = events.where(F.col("event_type") == "click")
+    j = interval_join(clicks, intervals, ["user_id"], bin_seconds=3600)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    ).select(F.col("user_id").cast("long").alias("user_id"), "n_clicks", "click_value")
+
+
+def _q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling aggregate: per event, the same user's value sum
+    over the trailing hour (RANGE frame on the time axis — peers at equal
+    ts share the frame, so the result is tie-deterministic)."""
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.sum("value").over(w), 2).alias("roll_value_1h"),
+    )
+
+
+def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy fill of 512-token training windows per
+    language in doc_id order (grouped applyInPandas — packing is
+    sequential within a group by nature, so the group is the parallelism
+    unit).  Oracle: a DuckDB recursive CTE walks the same rule."""
+    from localmod_spark.operators.packing import pack_greedy
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    )
+    packed = pack_greedy(docs, budget=512, group_col="lang", order_col="doc_id")
+    return packed.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_fill").cast("long").alias("pack_fill"),
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -831,6 +924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _shipped(_q_dedup_survivors),
         "stratified_sample": _shipped(_q_stratified_sample),
         "conv_text_stats": _shipped(_q_conv_text_stats),
+        "asof_click": _shipped(_q_asof_click),
+        "interval_join": _shipped(_q_interval_join),
+        "rolling_value": _shipped(_q_rolling_value),
+        "greedy_pack": _shipped(_q_greedy_pack),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1481,6 +1578,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    length(string_agg(text, chr(10) ORDER BY doc_id)) AS n_chars
             FROM documents GROUP BY 1
+        """,
+        "asof_click": """
+            WITH clicks AS (
+                SELECT user_id, ts, max(event_id) AS click_event_id
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id, c.click_event_id,
+                   round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 2)
+                       AS gap_seconds
+            FROM p ASOF JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "interval_join": """
+            WITH fp AS (
+                SELECT user_id, min(ts) AS fp_start
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id
+            )
+            SELECT e.user_id, count(*) AS n_clicks,
+                   round(sum(e.value), 2) AS click_value
+            FROM events e JOIN fp ON e.user_id = fp.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts >= fp.fp_start AND e.ts <= fp.fp_start + INTERVAL 1 DAY
+            GROUP BY e.user_id
+        """,
+        "rolling_value": """
+            SELECT event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 2) AS roll_value_1h
+            FROM events
+        """,
+        "greedy_pack": """
+            WITH RECURSIVE d AS (
+                SELECT lang, doc_id,
+                       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                           AS n_tokens,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            walk(lang, rn, doc_id, n_tokens, pack_id, pack_fill) AS (
+                SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+                       CASE WHEN w.pack_fill + d.n_tokens <= 512
+                            THEN w.pack_id ELSE w.pack_id + 1 END,
+                       CASE WHEN w.pack_fill + d.n_tokens <= 512
+                            THEN w.pack_fill + d.n_tokens ELSE d.n_tokens END
+                FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+            )
+            SELECT lang, doc_id, n_tokens, pack_id, pack_fill FROM walk
         """,
         "media_features": """
             WITH ids AS (
