@@ -49,6 +49,15 @@ _LATIN_COMPILED = [
 ]
 _WORD_RE = re.compile(r"[a-zà-öø-ÿœĳñ']+")
 
+# token → bitmask of profiles containing it: ONE dict lookup per distinct
+# token replaces seven per-profile set intersections in the hot loop
+# (identical hit counts by construction; ~2× on profile scoring).
+_WORD_TO_MASK: dict = {}
+for _i, (_lang, _words, _chars) in enumerate(_LATIN_PROFILES):
+    for _w in _words:
+        _WORD_TO_MASK[_w] = _WORD_TO_MASK.get(_w, 0) | (1 << _i)
+_N_PROFILES = len(_LATIN_PROFILES)
+
 UNKNOWN = "und"
 
 
@@ -78,11 +87,21 @@ def detect_language(text: str) -> Tuple[str, float]:
     counts: dict = {}
     for t in tokens:
         counts[t] = counts.get(t, 0) + 1
-    distinct = counts.keys()
+    hits = [0] * _N_PROFILES
+    mask_get = _WORD_TO_MASK.get
+    for t, c in counts.items():
+        m = mask_get(t)
+        if m:
+            i = 0
+            while m:
+                if m & 1:
+                    hits[i] += c
+                m >>= 1
+                i += 1
     best_lang, best_score = UNKNOWN, 0.0
-    for lang, words, chars in _LATIN_COMPILED:
-        hits = sum(counts[w] for w in distinct & words)
-        score = hits / len(tokens)
+    n_tokens = len(tokens)
+    for i, (lang, _words, chars) in enumerate(_LATIN_COMPILED):
+        score = hits[i] / n_tokens
         if not is_ascii and chars is not None and chars.search(lowered):
             score += 0.2  # diacritic bonus
         if score > best_score:  # strict > keeps earlier profile on ties
