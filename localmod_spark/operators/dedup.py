@@ -205,6 +205,23 @@ def minhash_candidates(
     upstream so byte-identical boilerplate collapses to one
     representative before sketching.
     """
+    if stage not in ("persist", "none"):
+        raise ValueError("stage must be 'persist' or 'none'")
+    exploded = explode_minhash_bands(df, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    if stage == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    return candidates_from_bands(exploded, id_col=id_col, max_bucket=max_bucket)
+
+
+def explode_minhash_bands(
+    df: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 8
+) -> DataFrame:
+    """Signature → exploded band table (id, band_ix, band_hash) — the
+    narrow artifact a production selection job stages to parquet: at
+    100 TB sketching dominates, and a staged band table makes re-runs,
+    resumes and downstream experiments pay it once (plans/selection.py)."""
     sig = F.col("minhash")
     band_arr = F.array(
         *[
@@ -215,15 +232,17 @@ def minhash_candidates(
             for i in range(bands)
         ]
     )
-    exploded = df.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
+    return df.select(F.col(id_col), F.explode(band_arr).alias("band")).select(
         id_col, "band.band_ix", "band.band_hash"
     )
-    if stage not in ("persist", "none"):
-        raise ValueError("stage must be 'persist' or 'none'")
-    if stage == "persist":
-        from pyspark.storagelevel import StorageLevel
 
-        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+
+def candidates_from_bands(
+    exploded: DataFrame, id_col: str = "doc_id", max_bucket: Optional[int] = None
+) -> DataFrame:
+    """Band table → candidate pairs (the join half of the LSH pipeline);
+    accepts either the in-session exploded table or one read back from a
+    staged parquet."""
     if max_bucket is not None:
         # width count shares the join's shuffle key; the semi join prunes
         # pathological buckets before any pair is generated

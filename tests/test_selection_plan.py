@@ -1,0 +1,80 @@
+"""Staged, resumable corpus-selection job (plans/selection.py)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from localmod_spark.plans.selection import STAGES, run_selection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_selection_matches_interactive_composition(spark, docs, tmp_path):
+    """The staged job must produce exactly the oracled corpus_select
+    query's rows — staging is an execution strategy, not a semantics
+    change."""
+    import __spark_entry__ as em
+
+    out = str(tmp_path / "sel")
+    res = run_selection(spark, docs, out)
+    assert res.stages_run == list(STAGES) and not res.stages_skipped
+    got = {(r.doc_id, r.lang, r.n_tokens) for r in res.selected.collect()}
+    want = {
+        (r.doc_id, r.lang, r.n_tokens)
+        for r in em.queries()["corpus_select"](spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_selection_resume_skips_completed_stages(spark, docs, tmp_path):
+    out = str(tmp_path / "sel")
+    first = run_selection(spark, docs, out)
+    again = run_selection(spark, docs, out)
+    assert again.stages_run == []
+    assert again.stages_skipped == list(STAGES)
+    assert again.selected.count() == first.selected.count()
+
+
+def test_selection_resume_recomputes_only_missing_tail(spark, docs, tmp_path):
+    """Deleting a mid-pipeline stage's data dir invalidates it (ledger row
+    alone is not trusted); the sketch stage is NOT re-run — the whole
+    point of staging signatures."""
+    out = str(tmp_path / "sel")
+    fresh = run_selection(spark, docs, out)
+    n = fresh.selected.count()
+    shutil.rmtree(f"{out}/clusters")
+    shutil.rmtree(f"{out}/selected")
+    res = run_selection(spark, docs, out)
+    assert res.stages_run == ["clusters", "selected"]
+    assert set(res.stages_skipped) == {"valid", "bands", "pairs"}
+    assert res.selected.count() == n
+
+
+def test_selection_no_resume_recomputes_everything(spark, docs, tmp_path):
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    res = run_selection(spark, docs, out, resume=False)
+    assert res.stages_run == list(STAGES)
+
+
+def test_selection_dedups_planted_duplicates(spark, tmp_path):
+    rows = [
+        (0, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+        (1, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+        (2, "en", "a completely different document about quarterly finance and audits"),
+        (3, "en", "x" * 500),  # fails max_len gate
+        (4, "en", "too short"),  # fails token band (< 5 tokens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    res = run_selection(spark, docs, str(tmp_path / "sel"), token_band=(5, 1000))
+    kept = sorted(r.doc_id for r in res.selected.collect())
+    assert kept == [0, 2]
+    # the staged pairs table carries the verified duplicate
+    pairs = spark.read.parquet(str(tmp_path / "sel" / "pairs"))
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
