@@ -882,6 +882,23 @@ def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word 5-gram with
+    the 'evaluation' slice (every 50th doc stands in for a benchmark
+    set).  All JVM-side: tokens → n-grams → distinct → explode →
+    broadcast semi-join; the corpus side never shuffles."""
+    from localmod_spark.operators.dedup import contaminated_docs
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    out = contaminated_docs(docs, evalset, n=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -928,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _shipped(_q_interval_join),
         "rolling_value": _shipped(_q_rolling_value),
         "greedy_pack": _shipped(_q_greedy_pack),
+        "decontaminate": _shipped(_q_decontaminate),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1603,6 +1621,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'click'
               AND e.ts >= fp.fp_start AND e.ts <= fp.fp_start + INTERVAL 1 DAY
             GROUP BY e.user_id
+        """,
+        "decontaminate": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 5
+                            THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      || ' ' || t[i+3] || ' ' || t[i+4]))
+                            ELSE [] END AS gs
+                FROM t
+            ),
+            dg AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0)
+            SELECT dg.doc_id, count(*) AS n_shared_grams
+            FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id
         """,
         "rolling_value": """
             SELECT event_id,

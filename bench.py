@@ -153,7 +153,8 @@ def main() -> None:
     q = em.queries()
     for name in ("pricing_summary", "revenue_by_nation", "token_freq",
                  "pii_scrub", "sessionize", "media_features",
-                 "dup_clusters", "corpus_select", "lsh_topk"):
+                 "dup_clusters", "corpus_select", "lsh_topk",
+                 "asof_click", "greedy_pack"):
         cold = name in ("dup_clusters", "corpus_select")  # persist internally
         bench(name, lambda name=name: _force(q[name](spark, SF_DIR)), cold=cold)
 

@@ -267,6 +267,48 @@ def candidates_from_bands(
     )
 
 
+def contaminated_docs(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: docs sharing ANY word n-gram with an
+    evaluation set → (id, n_shared_grams).  The standard pre-training
+    hygiene pass (n=13 is the common contamination window).
+
+    Entirely JVM-side — tokens, n-grams (``transform`` over a
+    ``sequence`` of offsets), distinct, explode — no Python.  The eval
+    side (benchmarks are small) is distinct-ed and BROADCAST into a semi
+    join against the exploded corpus grams, so the corpus side never
+    shuffles: scan → explode → broadcast-probe → partial count.  At
+    10^12 docs the explode factor is ~tokens-per-doc; hash the gram
+    (xxhash64) before the join if gram strings dominate the probe width.
+    """
+
+    def grams(col: str):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_grams = docs.select(F.col(id_col), F.explode(grams(text_col)).alias("g"))
+    eval_grams = eval_df.select(F.explode(grams(eval_text_col)).alias("g")).distinct()
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star (Kiveris et al., "Connected Components in

@@ -295,6 +295,29 @@ def test_simhash_candidates_rejects_unsound_params(spark):
         simhash_candidates(df, n_bands=4, max_hamming=4)
 
 
+def test_contaminated_docs_flags_ngram_overlap(spark):
+    """Decontamination: exact shared-distinct-n-gram counts vs a planted
+    benchmark; docs shorter than n grams never match; clean docs absent."""
+    from localmod_spark.operators.dedup import contaminated_docs
+
+    bench_text = "the capital of france is paris and the capital of italy is rome"
+    docs = spark.createDataFrame(
+        [
+            (0, "quiz answer the capital of france is paris obviously"),  # overlap
+            (1, "a completely clean training document about gardening"),  # clean
+            (2, bench_text),  # verbatim benchmark copy
+            (3, "capital of france is"),  # 4 tokens < n=5 → no grams
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(bench_text,)], "text string")
+    got = {r.doc_id: r.n_shared_grams for r in contaminated_docs(docs, evalset, n=5).collect()}
+    bench_toks = bench_text.split()
+    n_bench_grams = len({" ".join(bench_toks[i : i + 5]) for i in range(len(bench_toks) - 4)})
+    assert got == {0: 2, 2: n_bench_grams}
+    # doc 0 shares 'the capital of france is' and 'capital of france is paris'
+
+
 def test_simhash_bucket_cap_bounds_degenerate_signatures(spark):
     """The docstring's own hazard: 300 boilerplate docs share one
     signature → one bucket per band → ~45k pairs.  With max_bucket=50
