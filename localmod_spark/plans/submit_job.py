@@ -33,8 +33,14 @@ if os.path.isdir(os.path.join(_ROOT, "localmod_spark")) and _ROOT not in sys.pat
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="localmod_spark moderation pipeline")
+    p.add_argument(
+        "--job", choices=("moderate", "select"), default="moderate",
+        help="moderate = wave-resumable scoring; select = staged corpus selection",
+    )
     p.add_argument("--input", help="input transcripts: parquet path or iceberg table name")
     p.add_argument("--output", required=True, help="output directory (data/ _lineage/ _metrics/)")
+    p.add_argument("--dedup-threshold", type=float, default=0.9, help="[select] jaccard keep threshold")
+    p.add_argument("--max-bucket", type=int, default=None, help="[select] LSH giant-bucket cap (opt-in)")
     p.add_argument("--waves", type=int, default=16, help="resume granularity (hash buckets of conv_id)")
     p.add_argument("--no-resume", action="store_true", help="ignore the lineage ledger")
     p.add_argument("--no-context", action="store_true", help="skip conversation-context features")
@@ -76,6 +82,39 @@ def main(argv=None) -> int:
         turns = spark.read.parquet(args.input)
     else:
         turns = spark.read.table(args.input)  # iceberg catalog table
+
+    if args.job == "select":
+        # staged corpus selection: the input is a DOCUMENT table
+        # (doc_id, lang, text); stages + lineage under --output
+        from localmod_spark.plans.selection import run_selection
+
+        docs = turns  # same --input/--synthetic plumbing; synthetic turns
+        if args.synthetic:
+            # adapt synthetic transcripts to document shape for smoke runs
+            from pyspark.sql import functions as F
+
+            docs = turns.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.lit("en").alias("lang"),
+                "text",
+            )
+        sel = run_selection(
+            spark, docs, args.output,
+            threshold=args.dedup_threshold,
+            max_bucket=args.max_bucket,
+            resume=not args.no_resume,
+        )
+        print(
+            json.dumps(
+                {
+                    "out_dir": sel.out_dir,
+                    "stages_run": sel.stages_run,
+                    "stages_skipped": sel.stages_skipped,
+                    "selected_rows": sel.selected.count(),
+                }
+            )
+        )
+        return 0
 
     # thresholds: LOCALMOD_*_THRESHOLD env vars, reference-Settings style
     cfg = config_from_env()

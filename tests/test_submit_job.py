@@ -36,3 +36,27 @@ def test_submit_job_smoke_and_resume(tmp_path):
     assert second["waves_run"] == []
     assert second["waves_skipped"] == [0, 1]
     assert os.path.isdir(out + "/data/wave=0") and os.path.isdir(out + "/_lineage")
+
+
+@pytest.mark.slow
+def test_submit_job_selection_smoke_and_resume(tmp_path):
+    out = str(tmp_path / "sel_out")
+
+    def run():
+        p = subprocess.run(
+            [sys.executable, SCRIPT, "--job", "select", "--synthetic", "400",
+             "--output", out],
+            capture_output=True, text=True, timeout=420, cwd="/tmp",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run()
+    assert first["stages_run"] == ["valid", "bands", "pairs", "clusters", "selected"]
+    assert first["selected_rows"] > 0
+
+    second = run()
+    assert second["stages_run"] == []
+    assert second["selected_rows"] == first["selected_rows"]
+    assert os.path.isdir(out + "/bands") and os.path.isdir(out + "/_lineage")
