@@ -88,6 +88,26 @@ def quality_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def perplexity_udf_with_kn_trigram(logprob_table):
+    """Factory: perplexity under a corpus-trained interpolated-KN TRIGRAM
+    LM (``operators.textstats.train_char_kn_trigram_lm``) — the dense
+    (28², 28) table (~170 KB) ships in the UDF closure, the same
+    lazy-artifact pattern as the bigram variant below."""
+    import numpy as np
+
+    from localmod_spark.kernel.quality import char_perplexity_trigram
+
+    flat = np.asarray(logprob_table, dtype=np.float64).reshape(-1)
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [char_perplexity_trigram(t, flat) for t in texts.fillna("")]
+        )
+
+    return _ppl
+
+
 def perplexity_udf_with_lm(logprob_table):
     """Factory: a perplexity UDF scored under a CORPUS-TRAINED bigram LM
     (the output of ``operators.textstats.train_char_bigram_lm``) instead

@@ -115,3 +115,36 @@ def train_char_bigram_lm(documents: DataFrame, text_col: str = "text"):
     for r in rows:
         total += np.array(r.counts, dtype=np.float64)
     return logprob_table(total.reshape(_N_SYMBOLS, _N_SYMBOLS))
+
+
+def train_char_kn_trigram_lm(documents: DataFrame, text_col: str = "text", discount: float = 0.75):
+    """Fit a KenLM-style interpolated Kneser-Ney character-TRIGRAM LM on
+    the corpus, distributed — same one-narrow-pass shape as the bigram
+    trainer, with a 28³ (≈170 KB) count tensor per Arrow batch reduced
+    driver-side, then KN smoothing (:func:`kernel.quality.kn_logprob_table`)
+    on the summed counts.  Returns the dense (28², 28) log-probability
+    table; score with ``char_perplexity_trigram(text, table.reshape(-1))``.
+    Counts are additive, so the distributed sum equals a single-machine
+    train bit for bit (tested)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from localmod_spark.kernel.quality import _N_SYMBOLS, kn_logprob_table, trigram_counts
+
+    out_schema = StructType([StructField("counts", ArrayType(LongType()), False)])
+
+    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros((_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS))
+            for t in pdf[text_col].fillna(""):
+                acc += trigram_counts(t)
+            yield pd.DataFrame({"counts": [acc.reshape(-1).astype(np.int64).tolist()]})
+
+    rows = documents.select(text_col).mapInPandas(_count_batches, schema=out_schema).collect()
+    total = np.zeros(_N_SYMBOLS**3)
+    for r in rows:
+        total += np.array(r.counts, dtype=np.float64)
+    return kn_logprob_table(total.reshape(_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS), discount=discount)

@@ -123,3 +123,102 @@ def test_perplexity_udf_with_trained_lm_through_spark(spark):
     flat = table.reshape(-1)
     for i, t in rows:
         assert got[i] == pytest.approx(char_perplexity(t, logprob_flat=flat), abs=1e-12)
+
+
+# ---------------------------------------------------------- KN trigram ----
+
+
+def test_kn_table_rows_are_distributions():
+    """Every context's probabilities must sum to exactly 1 — the KN
+    interpolation is a proper distribution, observed context or not."""
+    import numpy as np
+
+    from localmod_spark.kernel.quality import _SEED_CORPUS, kn_logprob_table, trigram_counts
+
+    table = kn_logprob_table(trigram_counts(_SEED_CORPUS))
+    sums = np.exp(table).sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-9)
+    assert np.isfinite(table).all()  # nothing is ever zero-probability
+
+
+def test_kn_trigram_separates_english_from_noise():
+    import random
+
+    from localmod_spark.kernel.quality import (
+        _SEED_CORPUS,
+        char_perplexity_trigram,
+        kn_logprob_table,
+        trigram_counts,
+    )
+
+    flat = kn_logprob_table(trigram_counts(_SEED_CORPUS)).reshape(-1)
+    english = "the morning train was late but the meeting still went well"
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(len(english)))
+    p_en = char_perplexity_trigram(english, flat)
+    p_noise = char_perplexity_trigram(noise, flat)
+    assert 0 < p_en < p_noise
+    # trigram context beats bigram on in-domain text
+    from localmod_spark.kernel.quality import char_perplexity
+
+    assert p_en < char_perplexity(english)
+
+
+def test_kn_trigram_short_text_and_determinism():
+    from localmod_spark.kernel.quality import (
+        _SEED_CORPUS,
+        char_perplexity_trigram,
+        kn_logprob_table,
+        trigram_counts,
+    )
+
+    flat = kn_logprob_table(trigram_counts(_SEED_CORPUS)).reshape(-1)
+    assert char_perplexity_trigram("ab", flat) == 0.0
+    a = char_perplexity_trigram("hello world", flat)
+    b = char_perplexity_trigram("hello world", flat)
+    assert a == b > 0
+
+
+def test_distributed_kn_train_equals_local(spark):
+    """Counts are additive: the Spark-trained table must equal a local
+    train on the same texts bit for bit, at any partitioning."""
+    import numpy as np
+
+    from localmod_spark.kernel.quality import kn_logprob_table, trigram_counts
+    from localmod_spark.operators.textstats import train_char_kn_trigram_lm
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "practice improves almost every skill from cooking to coding",
+        "questions deserve clear answers",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").repartition(3)
+    spark_table = train_char_kn_trigram_lm(df)
+    local = np.zeros((28, 28, 28))
+    for t in texts:
+        local += trigram_counts(t)
+    np.testing.assert_array_equal(spark_table, kn_logprob_table(local))
+
+
+def test_kn_trigram_udf_matches_kernel(spark):
+    import pyspark.sql.functions as F
+
+    from localmod_spark.functions.text import perplexity_udf_with_kn_trigram
+    from localmod_spark.kernel.quality import (
+        _SEED_CORPUS,
+        char_perplexity_trigram,
+        kn_logprob_table,
+        trigram_counts,
+    )
+
+    table = kn_logprob_table(trigram_counts(_SEED_CORPUS))
+    texts = ["the cat sat on the mat", "zzzz qqqq", "", "ok"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.p
+        for r in df.withColumn("p", perplexity_udf_with_kn_trigram(table)(F.col("text"))).collect()
+    }
+    flat = table.reshape(-1)
+    for i, t in enumerate(texts):
+        assert got[i] == char_perplexity_trigram(t, flat)
