@@ -133,6 +133,10 @@ OUTPUT_COLUMNS = [
     "categories",
     "lang", "lang_conf",
     "perplexity", "quality_score", "quality_flagged", "n_tokens",
+    # per-classifier report fields (SafetyReport.results fidelity,
+    # `src/localmod/pipeline.py:27-35` / `models/base.py:29-38`)
+    "tox_severity", "pii_severity", "inj_severity", "spam_severity", "nsfw_severity",
+    "pii_categories", "inj_categories", "spam_categories",
 ]
 
 
@@ -226,6 +230,14 @@ def analyze_text(text: Optional[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> d
         "quality_score": quality_score(stats),
         "quality_flagged": quality_flagged(stats),
         "n_tokens": stats.n_tokens,
+        "tox_severity": tox.severity,
+        "pii_severity": pii.severity,
+        "inj_severity": inj.severity,
+        "spam_severity": spam.severity,
+        "nsfw_severity": nsfw.severity,
+        "pii_categories": list(pii.categories),
+        "inj_categories": list(inj.categories),
+        "spam_categories": list(spam.categories),
     }
 
 
@@ -241,6 +253,9 @@ _COLUMN_DTYPES = {
     "lang": object, "lang_conf": float,
     "perplexity": float, "quality_score": float,
     "quality_flagged": bool, "n_tokens": "int64",
+    "tox_severity": object, "pii_severity": object, "inj_severity": object,
+    "spam_severity": object, "nsfw_severity": object,
+    "pii_categories": object, "inj_categories": object, "spam_categories": object,
 }
 
 
@@ -506,6 +521,20 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             "quality_score": qscore,
             "quality_flagged": qflag,
             "n_tokens": ntok,
+            "tox_severity": tox_sev.astype(str),
+            "pii_severity": pii_sev,
+            "inj_severity": inj_sev.astype(str),
+            "spam_severity": spam_sev.astype(str),
+            "nsfw_severity": nsfw_sev.astype(str),
+            # reference contract: categories only when flagged
+            # (`spam.py:114`, `prompt_injection.py:143`)
+            "pii_categories": [pii_cats[i] if pii_flag[i] else [] for i in range(n)],
+            "inj_categories": [
+                [c for c, m in inj_cat_masks if m[i]] if inj_flag[i] else [] for i in range(n)
+            ],
+            "spam_categories": [
+                [c for c, m in spam_masks if m[i]] if spam_flag[i] else [] for i in range(n)
+            ],
         },
         index=idx,
     )[OUTPUT_COLUMNS]

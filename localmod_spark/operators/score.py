@@ -77,6 +77,19 @@ SCORE_FIELDS = [
     StructField("quality_score", DoubleType(), False),
     StructField("quality_flagged", BooleanType(), False),
     StructField("n_tokens", IntegerType(), False),
+    # per-classifier report fields (SafetyReport.results fidelity)
+    StructField("tox_severity", StringType(), False),
+    StructField("pii_severity", StringType(), False),
+    StructField("inj_severity", StringType(), False),
+    StructField("spam_severity", StringType(), False),
+    StructField("nsfw_severity", StringType(), False),
+    StructField("pii_categories", ArrayType(StringType()), False),
+    StructField("inj_categories", ArrayType(StringType()), False),
+    StructField("spam_categories", ArrayType(StringType()), False),
+    # amortized wall ms per turn of this Arrow batch's scoring call — the
+    # columnar analog of SafetyReport.processing_time_ms (a per-request
+    # wall clock makes no sense when thousands of turns share one call)
+    StructField("processing_time_ms", DoubleType(), False),
 ]
 
 
@@ -88,12 +101,18 @@ SCORE_STRUCT = StructType(SCORE_FIELDS)
 
 
 def _score_frame(texts: pd.Series, cfg: PipelineConfig) -> pd.DataFrame:
+    import time
+
+    t0 = time.perf_counter()
     scores = analyze_frame(texts, cfg)
     # redactions arrive as list-of-dicts per row; Arrow maps them to the
     # struct array via the declared schema.
     scores["redactions"] = scores["redactions"].map(
         lambda hits: [(h["type"], h["start"], h["end"], h["replacement"]) for h in hits]
     )
+    # per-turn amortized scoring wall time for this batch (the reference's
+    # SafetyReport.processing_time_ms, measured where the work happens)
+    scores["processing_time_ms"] = (time.perf_counter() - t0) * 1000.0 / max(len(texts), 1)
     return scores
 
 

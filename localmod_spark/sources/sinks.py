@@ -16,25 +16,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_report_json(scored: DataFrame) -> DataFrame:
-    """Append ``report``: the per-turn JSON document (reference
-    AnalyzeResponse shape: flagged, severity, summary, per-classifier
-    confidences rounded to 4, categories)."""
+def with_report_json(scored: DataFrame, device: str = "cpu") -> DataFrame:
+    """Append ``report``: the per-turn JSON document with the FULL
+    ``SafetyReport.to_dict`` shape (`src/localmod/pipeline.py:27-35`):
+    flagged, severity, results[] (each with classifier, flagged,
+    confidence rounded to 4 per `models/base.py:33`, severity,
+    flagged-only categories, metadata, explanation), summary,
+    processing_time_ms rounded to 2, and the pipeline metadata
+    (classifiers_run, device — `pipeline.py:139-142`)."""
+
+    def result_struct(name: str, short: str, cats):
+        return F.struct(
+            F.lit(name).alias("classifier"),
+            F.col(f"{short}_flagged").alias("flagged"),
+            F.round(F.col(f"{short}_conf"), 4).alias("confidence"),
+            F.col(f"{short}_severity").alias("severity"),
+            cats.alias("categories"),
+            F.expr("map()").alias("metadata"),
+            F.lit("").alias("explanation"),
+        )
+
+    empty = F.array().cast("array<string>")
     results = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("classifier"),
-                F.col(f"{short}_flagged").alias("flagged"),
-                F.round(F.col(f"{short}_conf"), 4).alias("confidence"),
-            )
-            for name, short in [
-                ("toxicity", "tox"),
-                ("pii", "pii"),
-                ("prompt_injection", "inj"),
-                ("spam", "spam"),
-                ("nsfw", "nsfw"),
-            ]
-        ]
+        # fixed-category classifiers: `toxicity.py:183`, `nsfw.py:131`
+        result_struct(
+            "toxicity", "tox",
+            F.when(F.col("tox_flagged"), F.array(F.lit("toxic"))).otherwise(empty),
+        ),
+        result_struct("pii", "pii", F.col("pii_categories")),
+        result_struct("prompt_injection", "inj", F.col("inj_categories")),
+        result_struct("spam", "spam", F.col("spam_categories")),
+        result_struct(
+            "nsfw", "nsfw",
+            F.when(F.col("nsfw_flagged"), F.array(F.lit("sexual_content"))).otherwise(empty),
+        ),
+    )
+    metadata = F.struct(
+        F.array(*[F.lit(c) for c in
+                  ("toxicity", "pii", "prompt_injection", "spam", "nsfw")]
+                ).alias("classifiers_run"),
+        F.lit(device).alias("device"),
     )
     return scored.withColumn(
         "report",
@@ -44,7 +65,8 @@ def with_report_json(scored: DataFrame) -> DataFrame:
                 F.col("severity"),
                 results.alias("results"),
                 F.col("summary"),
-                F.col("categories"),
+                F.round(F.col("processing_time_ms"), 2).alias("processing_time_ms"),
+                metadata.alias("metadata"),
             )
         ),
     )

@@ -40,3 +40,45 @@ def test_report_confidences_match_columns(spark):
     by_name = {r["classifier"]: r["confidence"] for r in doc["results"]}
     assert by_name["toxicity"] == round(row.tox_conf, 4)
     assert by_name["spam"] == round(row.spam_conf, 4)
+
+
+def test_report_json_matches_safety_report_shape(spark):
+    """Full SafetyReport.to_dict fidelity (`pipeline.py:27-35`): top-level
+    key set, per-result key set (`models/base.py:29-38`), per-classifier
+    severity, flagged-only categories, measured processing_time_ms, and
+    pipeline metadata."""
+    import json
+
+    from localmod_spark.operators.score import score_turns
+    from localmod_spark.sources.sinks import with_report_json
+
+    df = spark.createDataFrame(
+        [("c", 0, "My SSN is 123-45-6789"), ("c", 1, "a perfectly fine sentence")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r.turn_idx: json.loads(r.report)
+            for r in with_report_json(score_turns(df)).collect()}
+
+    for rep in rows.values():
+        assert set(rep) == {"flagged", "severity", "results", "summary",
+                            "processing_time_ms", "metadata"}
+        assert rep["metadata"] == {
+            "classifiers_run": ["toxicity", "pii", "prompt_injection", "spam", "nsfw"],
+            "device": "cpu",
+        }
+        assert rep["processing_time_ms"] > 0
+        assert [r["classifier"] for r in rep["results"]] == [
+            "toxicity", "pii", "prompt_injection", "spam", "nsfw"]
+        for r in rep["results"]:
+            assert set(r) == {"classifier", "flagged", "confidence", "severity",
+                              "categories", "metadata", "explanation"}
+
+    pii_res = next(r for r in rows[0]["results"] if r["classifier"] == "pii")
+    assert rows[0]["flagged"] and pii_res["flagged"]
+    assert pii_res["categories"] == ["ssn"] and pii_res["confidence"] == 1.0
+    assert pii_res["severity"] in ("high", "critical")
+
+    clean = rows[1]
+    assert not clean["flagged"]
+    assert all(r["categories"] == [] for r in clean["results"])  # flagged-only
+    assert all(r["severity"] == "none" for r in clean["results"])
