@@ -862,19 +862,26 @@ def _q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: greedy fill of 512-token training windows per
-    language in doc_id order (grouped applyInPandas — packing is
-    sequential within a group by nature, so the group is the parallelism
-    unit).  Oracle: a DuckDB recursive CTE walks the same rule."""
+    """Sequence packing: greedy fill of 512-token training windows in
+    doc_id order per (lang, 200-doc block) group — packing is sequential
+    within a group by nature, so the group is the parallelism unit, and
+    the composite key BOUNDS every sequential scan (the shape a 10^12-doc
+    job needs: lang alone would serialize a whole language on one task).
+    Oracle: a DuckDB recursive CTE walks the same rule per group."""
     from localmod_spark.operators.packing import pack_greedy
     from localmod_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"))
+        .withColumn(
+            "grp",
+            F.concat_ws("/", F.col("lang"), F.floor(F.col("doc_id") / F.lit(200)).cast("string")),
+        )
     )
-    packed = pack_greedy(docs, budget=512, group_col="lang", order_col="doc_id")
+    packed = pack_greedy(docs, budget=512, group_col="grp", order_col="doc_id")
     return packed.select(
-        "lang",
+        "grp",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("pack_id").cast("long").alias("pack_id"),
@@ -1652,24 +1659,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "greedy_pack": """
             WITH RECURSIVE d AS (
-                SELECT lang, doc_id,
+                SELECT lang || '/' || CAST(doc_id // 200 AS VARCHAR) AS grp, doc_id,
                        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                            AS n_tokens,
-                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                       row_number() OVER (PARTITION BY lang || '/' || CAST(doc_id // 200 AS VARCHAR)
+                                          ORDER BY doc_id) AS rn
                 FROM documents
             ),
-            walk(lang, rn, doc_id, n_tokens, pack_id, pack_fill) AS (
-                SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            walk(grp, rn, doc_id, n_tokens, pack_id, pack_fill) AS (
+                SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
                 FROM d WHERE rn = 1
                 UNION ALL
-                SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+                SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
                        CASE WHEN w.pack_fill + d.n_tokens <= 512
                             THEN w.pack_id ELSE w.pack_id + 1 END,
                        CASE WHEN w.pack_fill + d.n_tokens <= 512
                             THEN w.pack_fill + d.n_tokens ELSE d.n_tokens END
-                FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+                FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1
             )
-            SELECT lang, doc_id, n_tokens, pack_id, pack_fill FROM walk
+            SELECT grp, doc_id, n_tokens, pack_id, pack_fill FROM walk
         """,
         "media_features": """
             WITH ids AS (
