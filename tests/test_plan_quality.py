@@ -148,6 +148,39 @@ def test_minhash_sketch_udf_evaluates_once(spark):
         spark.catalog.clearCache()
 
 
+def test_interval_join_is_keyed_not_nested_loop(spark):
+    """The binned range join must plan as a keyed join (hash/sort-merge on
+    (key, bin)) — a naive inequality join would be BroadcastNestedLoopJoin,
+    which is quadratic at scale."""
+    import datetime as dt
+
+    from localmod_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1, 0, 5), 1)], "k string, ts timestamp, eid long"
+    )
+    iv = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "k string, start timestamp, end timestamp",
+    )
+    plan = plan_of(interval_join(ev, iv, ["k"]))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "_bin" in plan  # the bin really is a join key
+
+
+def test_decontaminate_broadcasts_eval_side(spark, docs):
+    """The corpus side of decontamination must not shuffle: eval grams are
+    broadcast into a LeftSemi probe."""
+    from localmod_spark.operators.dedup import contaminated_docs
+    from pyspark.sql import functions as F
+
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    plan = plan_of(contaminated_docs(docs, evalset, n=5))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_simhash_bucket_cap_prunes_before_join(spark):
     """SimHash banding with the cap on: same LeftSemi prune as MinHash,
     and the sketch UDF feeds a persisted relation."""
