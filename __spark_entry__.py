@@ -889,6 +889,51 @@ def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus selection: like corpus_select, but each
+    duplicate cluster keeps its HIGHEST-quality member (ties → min id)
+    instead of the arbitrary min-id — validity gate → near-dup clustering
+    → per-cluster argmax over the quality score → token band.  Every
+    stage is value-oracled (the quality score itself has a byte-exact SQL
+    oracle, so the whole composition is too)."""
+    from localmod_spark.functions.text import quality_udf
+    from localmod_spark.operators.dedup import (
+        dup_clusters,
+        minhash_candidates,
+        ngram_jaccard,
+        select_representatives,
+        with_minhash,
+    )
+    from localmod_spark.operators.validate import with_validity
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    valid = with_validity(docs, max_len=400).where(F.col("valid")).drop("valid", "invalid_reason")
+    sigs = with_minhash(valid, num_hashes=64, shingle_k=3, shingle_mode="word")
+    cands = minhash_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
+    pairs = (
+        ngram_jaccard(valid, cands, n=3)
+        .where(F.round("jaccard", 4) >= 0.9)
+        .select("id_a", "id_b")
+    )
+    clusters = dup_clusters(valid, pairs)
+    scores = valid.withColumn("_q", quality_udf(F.col("text"))).select(
+        "doc_id", F.col("_q.quality_score").alias("quality_score")
+    )
+    reps = select_representatives(clusters, scores)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        reps.join(valid.select("doc_id", "text"), "doc_id")
+        .where((n_tokens >= 5) & (n_tokens <= 1000))
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "quality_score",
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing any word 5-gram with
     the 'evaluation' slice (every 50th doc stands in for a benchmark
@@ -937,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
         "corpus_select": _shipped(_q_corpus_select),
+        "corpus_select_best": _shipped(_q_corpus_select_best),
         "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
@@ -1217,6 +1263,43 @@ def _corpus_select_sql(n: int = 3, threshold: float = 0.9) -> str:
             SELECT d.doc_id, d.lang,
                    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
             FROM docs_v d JOIN reps r ON d.doc_id = r.v
+        ) WHERE n_tokens BETWEEN 5 AND 1000
+    """
+
+
+def _corpus_select_best_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """Quality-aware selection oracle: the corpus_select CTE chain, with
+    the per-cluster representative chosen by window argmax over the
+    byte-exact quality-score subquery (nested WITH) instead of min id."""
+    return f"""
+        WITH RECURSIVE docs_v AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '' AND length(text) <= 400
+        ),
+        {_sql_gram_ctes(n, src="docs_v")},
+        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        cc(v, lbl) AS (
+            SELECT doc_id, doc_id FROM docs_v
+            UNION
+            SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.v
+        ),
+        labels AS (SELECT v AS doc_id, min(lbl) AS cluster FROM cc GROUP BY v),
+        qs AS (SELECT doc_id, quality_score FROM ({_quality_sql()})),
+        ranked AS (
+            SELECT l.cluster, l.doc_id, q.quality_score,
+                   row_number() OVER (PARTITION BY l.cluster
+                                      ORDER BY q.quality_score DESC, l.doc_id ASC) AS rk
+            FROM labels l JOIN qs q USING (doc_id)
+        )
+        SELECT cluster, doc_id, quality_score, n_tokens FROM (
+            SELECT CAST(r.cluster AS BIGINT) AS cluster,
+                   CAST(r.doc_id AS BIGINT) AS doc_id,
+                   r.quality_score,
+                   CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM ranked r JOIN docs_v d USING (doc_id) WHERE r.rk = 1
         ) WHERE n_tokens BETWEEN 5 AND 1000
     """
 
@@ -1732,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_jaccard_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "corpus_select": _corpus_select_sql(),
+        "corpus_select_best": _corpus_select_best_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
         "quality": _quality_sql(),
         "langid": _langid_sql(),

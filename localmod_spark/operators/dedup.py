@@ -13,7 +13,7 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -264,6 +264,30 @@ def candidates_from_bands(
         )
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup survivor choice: per duplicate cluster, keep
+    the HIGHEST-scoring member (ties → min id) instead of the arbitrary
+    min-id representative — the selection a corpus builder actually wants
+    (drop the boilerplate-ridden copy, keep the clean one).
+
+    One row_number window over cluster; deterministic because the score
+    is itself deterministic (rounded) and ties fall back to the id."""
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.join(scores.select(id_col, score_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("cluster", id_col, score_col)
     )
 
 

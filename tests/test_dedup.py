@@ -340,3 +340,20 @@ def test_simhash_bucket_cap_bounds_degenerate_signatures(spark):
 
     uncapped = simhash_candidates(sigs, max_bucket=None)
     assert uncapped.count() >= 300 * 299 // 2  # what the cap prevents
+
+
+def test_select_representatives_picks_best_quality(spark):
+    """Per cluster: highest score wins, ties fall to min id."""
+    from localmod_spark.operators.dedup import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, cluster long",
+    )
+    scores = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.9), (3, 0.5), (4, 0.1), (5, 0.7)],
+        "doc_id long, quality_score double",
+    )
+    got = {r.cluster: (r.doc_id, r.quality_score)
+           for r in select_representatives(clusters, scores).collect()}
+    assert got == {0: (1, 0.9), 3: (3, 0.5), 5: (5, 0.7)}  # tie 1v2 -> min id
