@@ -934,6 +934,29 @@ def _q_corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification (completeness, range share,
+    value-set membership, exact uniqueness) — all conditional counts
+    evaluated in ONE aggregation pass; the gate a 10^12-turn ingest runs
+    per wave before committing it (operators/checks.py also provides the
+    partition-mergeable state for differential re-verification)."""
+    from localmod_spark.operators.checks import (
+        check_suite,
+        completeness_check,
+        in_range_check,
+        in_set_check,
+    )
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    checks = [
+        completeness_check("text", 1.0),
+        in_range_check("n_chars", 1, 300, 0.9),
+        in_set_check("lang", ["de", "en", "es", "fr", "zh"], 1.0),
+    ]
+    return check_suite(docs, checks, unique_col="doc_id")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: documents sharing any word 5-gram with
     the 'evaluation' slice (every 50th doc stands in for a benchmark
@@ -999,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_value": _shipped(_q_rolling_value),
         "greedy_pack": _shipped(_q_greedy_pack),
         "decontaminate": _shipped(_q_decontaminate),
+        "quality_checks": _shipped(_q_quality_checks),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1711,6 +1735,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'click'
               AND e.ts >= fp.fp_start AND e.ts <= fp.fp_start + INTERVAL 1 DAY
             GROUP BY e.user_id
+        """,
+        "quality_checks": """
+            WITH m AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+                       CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 300 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                       CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS u
+                FROM documents
+            ),
+            rows_out AS (
+                SELECT 'complete(text)' AS chk, round(p0 / CAST(n AS DOUBLE), 6) AS pass_share,
+                       1.0 AS min_pass_share FROM m
+                UNION ALL
+                SELECT 'range(n_chars)', round(p1 / CAST(n AS DOUBLE), 6), 0.9 FROM m
+                UNION ALL
+                SELECT 'in_set(lang)', round(p2 / CAST(n AS DOUBLE), 6), 1.0 FROM m
+                UNION ALL
+                SELECT 'unique(doc_id)', round(u / CAST(n AS DOUBLE), 6), 1.0 FROM m
+            )
+            SELECT chk AS "check", pass_share, min_pass_share,
+                   pass_share >= min_pass_share AS passed
+            FROM rows_out
         """,
         "decontaminate": """
             WITH t AS (
