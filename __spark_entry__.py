@@ -934,6 +934,19 @@ def _q_corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over int8-quantized embeddings (4× narrower scans/broadcasts):
+    symmetric per-vector scale cancels out of cosine, so scoring is pure
+    integer arithmetic on the quantized vectors — exactly reproducible in
+    SQL (integer sums are order-independent and float64-exact)."""
+    from localmod_spark.operators.similarity import quantize_embeddings, quantized_topk
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = quantized_topk(quantize_embeddings(emb), query_vec_id=0, k=10)
+    return top.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine_q")
+
+
 def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint verification (completeness, range share,
     value-set membership, exact uniqueness) — all conditional counts
@@ -1023,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_pack": _shipped(_q_greedy_pack),
         "decontaminate": _shipped(_q_decontaminate),
         "quality_checks": _shipped(_q_quality_checks),
+        "quant_topk": _shipped(_q_quant_topk),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1735,6 +1749,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'click'
               AND e.ts >= fp.fp_start AND e.ts <= fp.fp_start + INTERVAL 1 DAY
             GROUP BY e.user_id
+        """,
+        "quant_topk": """
+            WITH qz AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+                FROM embeddings
+            ),
+            qv AS (
+                SELECT vec_id,
+                       CASE WHEN s = 0
+                            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) AS BIGINT))
+                       END AS q
+                FROM qz
+            ),
+            qq AS (SELECT q AS query_q FROM qv WHERE vec_id = 0),
+            scored AS (
+                SELECT v.vec_id,
+                       CAST(list_sum(list_transform(list_zip(v.q, qq.query_q),
+                                                    p -> p[1] * p[2])) AS DOUBLE)
+                       / (sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(qq.query_q, x -> x * x)) AS DOUBLE)))
+                           AS raw
+                FROM qv v, qq WHERE v.vec_id <> 0
+            )
+            SELECT vec_id, round(raw, 4) AS cosine_q FROM scored
+            ORDER BY raw DESC, vec_id ASC LIMIT 10
         """,
         "quality_checks": """
             WITH m AS (

@@ -62,6 +62,83 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i / s * 127
+    + 0.5)`` with ``s = max|x_i|`` (zero vectors → all-zero q).  Appends
+    ``q`` (array<tinyint>, values in [-127, 127]) and ``q_scale``.
+
+    Why at 100 TB: the embedding column dominates ANN shuffle/broadcast
+    width; int8 moves 4× less than float32.  And because the scale is
+    symmetric PER VECTOR, it cancels out of cosine — quantized scoring
+    (:func:`quantized_topk`) is pure integer arithmetic on ``q`` with no
+    dequantization, which also makes it bit-deterministic across engines
+    (integer dot/norm sums are exact in float64 at any summation order,
+    so a SQL oracle reproduces scores exactly — no fp-accumulation-order
+    caveat)."""
+    x = F.col(vec_col)
+    df = df.withColumn(
+        "q_scale",
+        F.aggregate(
+            F.transform(x, lambda v: F.abs(v.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ),
+    )
+    q = F.when(
+        F.col("q_scale") == 0.0,
+        F.transform(x, lambda v: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") / F.col("q_scale") * 127.0 + 0.5).cast(
+                "tinyint"
+            ),
+        )
+    )
+    return df.withColumn("q", q)
+
+
+def quantized_topk(
+    quantized: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Exact top-k by the QUANTIZED cosine (integer dot over ``q`` —
+    scales cancel, see :func:`quantize_embeddings`).  Same broadcast 1×N
+    probe + TakeOrdered shape as :func:`cosine_topk`, at a quarter of the
+    scan/broadcast width."""
+
+    def qdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qrow = quantized.where(F.col(id_col) == query_vec_id).select(F.col(q_col).alias("_qq"))
+    raw = (
+        qdot(F.col(q_col), F.col("_qq")).cast("double")
+        / (
+            F.sqrt(qdot(F.col(q_col), F.col(q_col)).cast("double"))
+            * F.sqrt(qdot(F.col("_qq"), F.col("_qq")).cast("double"))
+        )
+    )
+    scored = (
+        quantized.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(id_col, raw.alias("_raw"))
+    )
+    return (
+        scored.orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_raw", 4).alias("cosine_q"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -148,3 +148,48 @@ def test_lsh_dups_subset_of_all_pairs(emb, spark):
     assert all(lsh[p] == exact[p] for p in lsh)
     assert lsh  # non-vacuous: the planted near-dup pair must be caught
     assert (0, 999) in lsh
+
+
+# -------------------------------------------------------- quantization ----
+
+
+def test_quantize_embeddings_bit_exact_vs_numpy(spark):
+    """The quantization formula must match an explicit numpy reference —
+    including negatives (floor(v/s*127+0.5) is round-half-toward-+inf)
+    and the zero-vector guard."""
+    import numpy as np
+
+    from localmod_spark.operators.similarity import quantize_embeddings
+
+    vecs = [
+        (0, [1.0, -1.0, 0.5, -0.25]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (2, [0.3, 0.299999, -0.3, 0.1]),
+        (3, [-2.0, 1.0, 0.003, -0.0039]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (list(r.q), r.q_scale) for r in quantize_embeddings(df).collect()}
+    for vid, x in vecs:
+        x = np.asarray(x, dtype=np.float64)
+        s = float(np.abs(x).max())
+        want = [0] * len(x) if s == 0 else [int(np.floor(v / s * 127.0 + 0.5)) for v in x]
+        assert got[vid] == (want, s), vid
+        assert all(-127 <= v <= 127 for v in got[vid][0])
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 cosine must agree closely with float cosine: at least 8 of
+    the exact top-10 survive quantization, and per-pair scores are within
+    the int8 resolution."""
+    from localmod_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r.vec_id: r.cosine for r in cosine_topk(emb, 0, 10).collect()}
+    quant = {r.vec_id: r.cosine_q for r in quantized_topk(quantize_embeddings(emb), 0, 10).collect()}
+    assert len(set(exact) & set(quant)) >= 8
+    for vid in set(exact) & set(quant):
+        assert abs(exact[vid] - quant[vid]) < 0.02, vid
