@@ -987,6 +987,66 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT batched kNN join: top-5 cosine neighbors for EVERY query row
+    (every 50th vector stands in for a query/benchmark set).  The query
+    table broadcasts, the corpus scans once, per-query top-k is one
+    row_number window — no per-query driver loop.  Oracle = brute-force
+    per-query top-k in DuckDB."""
+    from localmod_spark.operators.similarity import knn_join
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = knn_join(q, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def _q_ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN join — the 100 TB "kNN for every doc"
+    path: both sides LSH-bucketed with the same seeded hyperplanes, the
+    query side exploded into its hamming-1 probe buckets, candidates from
+    a pure bucket EQUI-join (plan-asserted: no cartesian, no
+    nested-loop), per-query top-k via row_number.  The oracle recomputes
+    buckets + probe condition + windows with identical arithmetic."""
+    from localmod_spark.operators.similarity import ann_join_topk
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = ann_join_topk(q, emb, dim=_EMB_DIM, k=5, n_planes=8, hamming=1)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. ACL'22): every word 5-gram
+    span occurring in ≥ 2 distinct documents — the repeated-boilerplate
+    mode whole-doc exact + near dedup both miss.  All JVM-side
+    (tokenize → position spans → explode → doc-frequency → equi-join
+    back); oracle = the same n-gram self-frequency join in DuckDB."""
+    from localmod_spark.operators.dedup import repeated_spans
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeated_spans(docs, n=5, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "gram",
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -1037,12 +1097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _shipped(_q_decontaminate),
         "quality_checks": _shipped(_q_quality_checks),
         "quant_topk": _shipped(_q_quant_topk),
+        "knn_join": _shipped(_q_knn_join),
+        "repeated_spans": _shipped(_q_repeated_spans),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
         "simhash_dups": _shipped(_q_simhash_dups),
         "lsh_topk": _shipped(_q_lsh_topk),
         "ivf_topk": _shipped(_q_ivf_topk),
+        "ann_join_topk": _shipped(_q_ann_join_topk),
         "conv_context": _shipped(_q_conv_context),
         "media_features": _shipped(_q_media_features),
         # SQL-checkable via generated oracles (kernel parameter tables —
@@ -1116,6 +1179,75 @@ def _lsh_topk_sql(k: int = 10) -> str:
               AND e.vec_id <> 0
         )
         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _ann_join_topk_sql(k: int = 5, n_planes: int = 8) -> str:
+    """Multi-query LSH ANN join: buckets for every vector, queries =
+    every 50th id, probe = own bucket or any hamming-1 neighbor (xor is
+    0 or a power of two), per-query top-k window — the exact arithmetic
+    of similarity.ann_join_topk."""
+    bucket = _sql_lsh_bucket("embedding", n_planes=n_planes)
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qb
+              FROM b WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round({_sql_cos('e.embedding', 'q.qvec')}, 4) AS cosine
+            FROM b e JOIN q
+              ON (e.bucket = q.qb
+                  OR (xor(e.bucket, q.qb) & (xor(e.bucket, q.qb) - 1)) = 0)
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rk FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
+def _knn_join_sql(k: int = 5) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round({_sql_cos('e.embedding', 'q.qvec')}, 4) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rk FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= {k}
+    """
+
+
+def _repeated_spans_sql(n: int = 5, min_docs: int = 2) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {n - 2})) - 1 AS pos,
+                   unnest(list_transform(range(1, len(t) - {n - 2}), i -> {gram})) AS gram
+            FROM t WHERE len(t) >= {n}
+        ),
+        freq AS (
+            SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM spans GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}
+        )
+        SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram, f.n_docs
+        FROM spans s JOIN freq f USING (gram)
     """
 
 
@@ -1895,7 +2027,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine FROM scored
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
+        "knn_join": _knn_join_sql(),
+        "repeated_spans": _repeated_spans_sql(),
         # generated oracles (seeded constants embedded as literals)
+        "ann_join_topk": _ann_join_topk_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "lsh_embedding_dups": _lsh_embedding_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),

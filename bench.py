@@ -154,7 +154,8 @@ def main() -> None:
     for name in ("pricing_summary", "revenue_by_nation", "token_freq",
                  "pii_scrub", "sessionize", "media_features",
                  "dup_clusters", "corpus_select", "lsh_topk",
-                 "asof_click", "greedy_pack"):
+                 "asof_click", "greedy_pack",
+                 "ann_join_topk", "knn_join", "repeated_spans"):
         cold = name in ("dup_clusters", "corpus_select")  # persist internally
         bench(name, lambda name=name: _force(q[name](spark, SF_DIR)), cold=cold)
 

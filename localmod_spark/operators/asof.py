@@ -11,7 +11,8 @@ key, no join node at all — at 100 TB this beats any join-shaped plan
 because the right side is never built into a hash table and skewed keys
 degrade into a sort, not a hot build side.
 
-Range join: match events to (start, end] intervals by TIME BINNING —
+Range join: match events to [start, end] intervals (inclusive on BOTH
+ends, matching the DuckDB oracle's BETWEEN) by TIME BINNING —
 explode each interval into the fixed-width bins it covers, equi-join
 events on (key, bin), then apply the exact BETWEEN as a residual filter.
 The equi-join keys the shuffle (Catalyst would otherwise plan

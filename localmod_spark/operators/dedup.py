@@ -13,9 +13,33 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+# Persisted sketch-stage tables registered here so long-lived sessions can
+# release them: the band-table persist (see minhash_candidates) must outlive
+# the caller's ACTION, so the operator cannot unpersist it itself — without
+# a release hook every candidates call in a long session accumulates
+# MEMORY_AND_DISK blocks.  bench.py clears the cache between repeats; any
+# other long-lived driver should call release_stage_caches() between jobs.
+_STAGE_CACHES: List[DataFrame] = []
+
+
+def release_stage_caches() -> int:
+    """Unpersist every sketch-stage table persisted by
+    :func:`minhash_candidates` / :func:`simhash_candidates` in this
+    session; returns how many were released."""
+    n = 0
+    while _STAGE_CACHES:
+        df = _STAGE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return n
+
 
 # ---------------------------------------------------------------- exact ----
 
@@ -177,6 +201,7 @@ def minhash_candidates(
     rows_per_band: int = 8,
     max_bucket: Optional[int] = None,
     stage: str = "persist",
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together → candidate pairs.
 
@@ -200,10 +225,15 @@ def minhash_candidates(
     ``max_bucket=N``, buckets wider than N are dropped before the join,
     bounding the candidate count at ``bands * max_bucket^2 / 2`` per
     pathological text.  The cap is **opt-in** (default ``None``): it
-    silently trades recall for boundedness, so callers must choose it
-    knowingly — scale jobs should pass a cap AND run :func:`exact_dedup`
-    upstream so byte-identical boilerplate collapses to one
-    representative before sketching.
+    trades recall for boundedness, so callers must choose it knowingly —
+    scale jobs should pass a cap AND run :func:`exact_dedup` upstream so
+    byte-identical boilerplate collapses to one representative before
+    sketching.  The trade is OBSERVABLE, not silent: pass an
+    ``observation`` (:class:`pyspark.sql.Observation`) and, after the
+    first action, ``observation.get`` carries ``dropped_buckets``,
+    ``dropped_pairs`` (the quadratic pair potential the cap averted) and
+    ``max_bucket_width`` — riding the candidate action itself, no extra
+    pass (plans/selection.py records them in its ledger).
     """
     if stage not in ("persist", "none"):
         raise ValueError("stage must be 'persist' or 'none'")
@@ -212,7 +242,10 @@ def minhash_candidates(
         from pyspark.storagelevel import StorageLevel
 
         exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-    return candidates_from_bands(exploded, id_col=id_col, max_bucket=max_bucket)
+        _STAGE_CACHES.append(exploded)
+    return candidates_from_bands(
+        exploded, id_col=id_col, max_bucket=max_bucket, observation=observation
+    )
 
 
 def explode_minhash_bands(
@@ -237,21 +270,39 @@ def explode_minhash_bands(
     )
 
 
+def _cap_metrics(max_bucket: int) -> list:
+    """Observation aggregates over the bucket-width table: how much the
+    giant-bucket cap actually dropped (and how wide the worst bucket was)."""
+    over = F.col("_w") > max_bucket
+    return [
+        F.sum(over.cast("long")).alias("dropped_buckets"),
+        F.sum(
+            F.when(over, (F.col("_w") * (F.col("_w") - 1) / 2).cast("long")).otherwise(F.lit(0))
+        ).alias("dropped_pairs"),
+        F.max("_w").alias("max_bucket_width"),
+    ]
+
+
 def candidates_from_bands(
-    exploded: DataFrame, id_col: str = "doc_id", max_bucket: Optional[int] = None
+    exploded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: Optional[int] = None,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Band table → candidate pairs (the join half of the LSH pipeline);
     accepts either the in-session exploded table or one read back from a
-    staged parquet."""
+    staged parquet.  With ``max_bucket`` + ``observation``, the observed
+    metrics (dropped_buckets / dropped_pairs / max_bucket_width) ride the
+    width aggregation already needed for the cap — zero extra passes."""
     if max_bucket is not None:
         # width count shares the join's shuffle key; the semi join prunes
         # pathological buckets before any pair is generated
-        narrow = (
-            exploded.groupBy("band_ix", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .where(F.col("_w") <= max_bucket)
-            .select("band_ix", "band_hash")
+        widths = exploded.groupBy("band_ix", "band_hash").agg(
+            F.count(F.lit(1)).alias("_w")
         )
+        if observation is not None:
+            widths = widths.observe(observation, *_cap_metrics(max_bucket))
+        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_hash")
         exploded = exploded.join(narrow, ["band_ix", "band_hash"], "left_semi")
     left = exploded.alias("l")
     right = exploded.alias("r")
@@ -331,6 +382,66 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: Optional[int] = None,
+    observation: Optional[Observation] = None,
+) -> DataFrame:
+    """Substring-level exact dedup: flag every word-``n``-gram SPAN that
+    occurs in at least ``min_docs`` distinct documents (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    the repeated-substring mode that whole-doc exact + near dedup both
+    miss: boilerplate shared across otherwise-distinct docs).  Returns
+    one row per flagged span: (id, pos, gram, n_docs) with ``pos`` the
+    0-based token offset.
+
+    Shape (all JVM-side, no Python): tokenize → positions via
+    ``transform`` over a ``sequence`` of offsets → explode → gram
+    doc-frequency (``countDistinct`` partial-aggregates map-side) →
+    frequency filter → equi-join back to the span table on the gram.
+    Never a self-join — the frequency table is the join's small(er)
+    side, and the output is linear in corpus gram count, not quadratic.
+
+    ``max_df`` (opt-in) caps the join blowup from ubiquitous grams (a
+    gram in 10^8 docs re-emits every one of its occurrences): grams with
+    doc-frequency above the cap are EXCLUDED from the output — a recall
+    trade, so it is observable, never silent: pass ``observation`` and
+    after the action ``observation.get`` carries ``dropped_grams`` (count
+    over the cap) and ``max_gram_df``.  At 10^12 docs also substitute
+    ``xxhash64(gram)`` for the gram string before the shuffle (same
+    plan, 8-byte keys); the string variant here keeps the operator
+    engine-reproducible for the SQL value oracle."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    spans_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("gram")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    spans = docs.select(F.col(id_col), F.explode(spans_arr).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+    )
+    freq = spans.groupBy("gram").agg(F.countDistinct(id_col).alias("n_docs"))
+    if observation is not None:
+        cap = max_df if max_df is not None else (1 << 62)
+        freq = freq.observe(
+            observation,
+            F.sum((F.col("n_docs") > cap).cast("long")).alias("dropped_grams"),
+            F.max("n_docs").alias("max_gram_df"),
+        )
+    freq = freq.where(F.col("n_docs") >= min_docs)
+    if max_df is not None:
+        freq = freq.where(F.col("n_docs") <= max_df)
+    return spans.join(freq, "gram").select(id_col, "pos", "gram", "n_docs")
 
 
 def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
@@ -568,6 +679,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     max_bucket: Optional[int] = None,
     stage: str = "persist",
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling", WWW'07).
@@ -590,7 +702,10 @@ def simhash_candidates(
         ``max_bucket=N``, band buckets wider than N are dropped before
         the join.  Opt-in (default ``None``) because it trades recall
         (the pigeonhole guarantee no longer covers dropped buckets) for
-        boundedness; scale jobs pass a cap AND run exact dedup upstream.
+        boundedness; scale jobs pass a cap AND run exact dedup upstream —
+        and the drop is observable via ``observation`` (same
+        dropped_buckets / dropped_pairs / max_bucket_width metrics as
+        :func:`minhash_candidates`).
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -619,13 +734,14 @@ def simhash_candidates(
         from pyspark.storagelevel import StorageLevel
 
         exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+        _STAGE_CACHES.append(exploded)
     if max_bucket is not None:
-        narrow = (
-            exploded.groupBy("band_ix", "band_val")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .where(F.col("_w") <= max_bucket)
-            .select("band_ix", "band_val")
+        widths = exploded.groupBy("band_ix", "band_val").agg(
+            F.count(F.lit(1)).alias("_w")
         )
+        if observation is not None:
+            widths = widths.observe(observation, *_cap_metrics(max_bucket))
+        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_val")
         exploded = exploded.join(narrow, ["band_ix", "band_val"], "left_semi")
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "band_ix", "band_val"

@@ -111,6 +111,32 @@ def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
     return hist / norm
 
 
+def _try_import_pil():
+    """Optional-import gate for the real image codec: PIL when installed
+    (env-gated tests exercise the real path there), None in this
+    container (the fake-codec paths and loud ``decode="real"`` errors are
+    unchanged)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_decode_features(Image, payload: bytes, dim: int) -> np.ndarray:
+    """REAL decode → feature: PIL-decode the payload, grayscale, bucketed
+    luminance histogram L2-normalized — same output contract as the fake
+    path (swap the histogram for a model forward to get embeddings)."""
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    pixels = np.asarray(img, dtype=np.uint8).reshape(-1)
+    hist = np.bincount(pixels % dim, minlength=dim).astype(np.float64)
+    norm = np.linalg.norm(hist) or 1.0
+    return hist / norm
+
+
 def extract_media_features(
     media: DataFrame,
     dim: int = 16,
@@ -129,8 +155,9 @@ def extract_media_features(
         raise ValueError("decode must be 'fake' or 'real'")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _try_import_pil() if decode == "real" else None
         for pdf in batches:
-            if decode == "real" and len(pdf):
+            if decode == "real" and len(pdf) and Image is None:
                 raise NotImplementedError(
                     "real decode requires PIL/torchvision/ffmpeg — not in this container; "
                     "plug the codec here (same signature, same output schema)"
@@ -152,7 +179,15 @@ def extract_media_features(
                     n_frames = max(int(duration) // frame_sample_every_ms, 1)
                 else:
                     n_frames = 1
-                feat = _fake_decode_features(payload, dim)
+                if decode == "real":
+                    if kind != "image":
+                        raise NotImplementedError(
+                            "real decode covers images (PIL); audio/video codecs "
+                            "(ffmpeg) are not in this container"
+                        )
+                    feat = _pil_decode_features(Image, payload, dim)
+                else:
+                    feat = _fake_decode_features(payload, dim)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -276,29 +311,45 @@ def _fake_vit_probs(payload: bytes) -> list:
 
 
 def classify_media_nsfw(
-    media: DataFrame, threshold: float = 0.5, decode: str = "fake"
+    media: DataFrame, threshold: float = 0.5, decode: str = "fake", model_fn=None
 ) -> DataFrame:
     """Image-NSFW scoring (reference O7, `src/localmod/classifiers/
     nsfw_image.py:110-182`) over the binary media table: images only,
     narrow mapInPandas (payloads never shuffle), decision math from
-    ``kernel/nsfw_image.py`` verbatim; the ViT forward pass is the fake
-    decoder above (``decode="real"`` marks the codec slot)."""
+    ``kernel/nsfw_image.py`` verbatim.
+
+    ``decode="fake"`` (default): the deterministic stand-in above.
+    ``decode="real"``: PIL-decode each payload (env-gated — raises the
+    loud slot error when PIL is absent, as in this container) and score
+    the decoded pixel array with ``model_fn(np.ndarray) -> probs list``
+    — the ViT processor+forward slot (inject the real
+    AutoImageProcessor + AutoModelForImageClassification there; the
+    label-scan/fallback decision layer is the reference's either way)."""
     from localmod_spark.kernel.nsfw_image import _severity as nsfw_severity
     from localmod_spark.kernel.nsfw_image import nsfw_image_prob
 
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
+    if decode == "real" and model_fn is None:
+        raise ValueError("decode='real' needs a model_fn (the ViT forward slot)")
 
     def _clf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _try_import_pil() if decode == "real" else None
         for pdf in batches:
-            if decode == "real" and len(pdf):
+            if decode == "real" and len(pdf) and Image is None:
                 raise NotImplementedError(
                     "real decode requires PIL + transformers — not in this container; "
                     "plug processor+model here (decision layer stays as-is)"
                 )
             rows = []
             for mid, payload in zip(pdf["media_id"].to_numpy(), pdf["payload"]):
-                probs = _fake_vit_probs(bytes(payload))
+                if decode == "real":
+                    import io
+
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+                    probs = model_fn(np.asarray(img))
+                else:
+                    probs = _fake_vit_probs(bytes(payload))
                 prob, label = nsfw_image_prob(probs)  # one decision pass per row
                 rows.append(
                     {

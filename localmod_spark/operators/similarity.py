@@ -9,7 +9,7 @@ query probes one bucket instead of the full corpus.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -371,6 +371,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hamming: int = 0,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score only the query's bucket.
 
@@ -378,18 +379,36 @@ def lsh_topk(
     from the query's by at most one hyperplane sign are probed too — the
     standard recall knob (a true neighbor near one hyperplane flips
     exactly that bit).  With P planes this scans ~(P+1)/2^P of the
-    corpus instead of 1/2^P; still bucket-pruned, never a full scan."""
-    q = embeddings_with_bucket.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("lsh_bucket").alias("_qbucket")
+    corpus instead of 1/2^P; still bucket-pruned, never a full scan.
+
+    The probe set is resolved DRIVER-side (one ``first()`` on the tiny
+    query row, same shape as :func:`ivf_topk`'s probe list) and applied
+    as a LITERAL ``isin`` filter, so on a table with a materialized
+    ``lsh_bucket`` column the predicate pushes into the scan
+    (``PushedFilters: In(lsh_bucket, ...)``) — the earlier formulation
+    compared against the broadcast query row's bucket, which forced a
+    full-corpus scan filtered only after the join.  ``n_planes`` must
+    match the bucketing call (buckets live in ``[0, 2^n_planes)``)."""
+    q_row = (
+        embeddings_with_bucket.where(F.col(id_col) == query_vec_id)
+        .select("lsh_bucket")
+        .first()
     )
-    xor = F.col("lsh_bucket").bitwiseXOR(F.col("_qbucket"))
-    probe = xor == 0
+    if q_row is None:
+        raise ValueError(f"query {id_col}={query_vec_id} not found")
+    qbucket = int(q_row[0])
+    probe_buckets = [qbucket]
     if hamming >= 1:
-        # xor is a power of two ⇔ exactly one differing plane sign
-        probe = probe | ((xor != 0) & (xor.bitwiseAND(xor - 1) == 0))
+        # flipping exactly one plane sign toggles exactly one bucket bit
+        probe_buckets += [qbucket ^ (1 << i) for i in range(n_planes)]
+    q = embeddings_with_bucket.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
     scored = (
-        embeddings_with_bucket.crossJoin(F.broadcast(q))
-        .where(probe & (F.col(id_col) != query_vec_id))
+        embeddings_with_bucket.where(
+            F.col("lsh_bucket").isin(probe_buckets) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(
@@ -400,3 +419,104 @@ def lsh_topk(
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = None,
+    query_vec_col: str = None,
+) -> DataFrame:
+    """EXACT batched kNN join: top-k corpus neighbors by cosine for EVERY
+    query row — the pipeline-shaped ANN ("kNN for each document"), not a
+    per-query lookup.  Returns (query_id, vec_id, cosine, rk).
+
+    Shape: the query table is broadcast (queries are the small side — a
+    benchmark set, a probe sample; NEVER the corpus), the corpus scans
+    exactly once, scoring stays in whole-stage codegen, and the per-query
+    top-k is one ``row_number`` window partitioned by query id — no
+    driver-side loop, no N×Q materialization beyond the window input.
+    Exact mode is O(|corpus|·|queries|) compute by nature; for corpus-
+    sized query sets use :func:`ann_join_topk` (bucket equi-join)."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qvec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ann_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 11,
+    hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = None,
+    query_vec_col: str = None,
+) -> DataFrame:
+    """Batched multi-query ANN join — the 100 TB "kNN for every doc"
+    path (near-dup scoring, retrieval decontamination).  Both sides get
+    the same seeded hyperplane signature; the query side EXPLODES into
+    its probe buckets (own bucket + the ``n_planes`` hamming-1 neighbors
+    when ``hamming=1``); candidates come from a pure bucket EQUI-join —
+    shuffles keyed on the bucket, never a cartesian, no corpus broadcast,
+    no per-query driver work.  Per-query top-k = one ``row_number``
+    window.  Returns (query_id, vec_id, cosine, rk).
+
+    Each corpus vector lives in exactly ONE bucket and the probe list per
+    query is distinct buckets, so a (query, corpus) pair joins at most
+    once — no post-join dedup needed.  Recall follows the hyperplane-LSH
+    math of :func:`lsh_topk`; the window makes the trade explicit: a
+    query's k-th neighbor is exact *within the probed buckets*.
+
+    At 10^12 rows: materialize ``with_lsh_bucket`` onto the corpus table
+    (bucket/partition by ``lsh_bucket``) so the equi-join co-locates and
+    the probe-side explode (×(n_planes+1)) touches only the small query
+    table."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    corpus_b = with_lsh_bucket(corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    q_b = with_lsh_bucket(queries, dim=dim, n_planes=n_planes, seed=seed, vec_col=qvec)
+    probes = [F.col("lsh_bucket")]
+    if hamming >= 1:
+        probes += [F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    qx = q_b.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("_qvec"),
+        F.explode(F.array(*probes)).alias("_probe"),
+    )
+    joined = (
+        corpus_b.join(qx, F.col("lsh_bucket") == F.col("_probe"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

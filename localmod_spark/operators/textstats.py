@@ -77,74 +77,92 @@ def doc_text_features(documents: DataFrame) -> DataFrame:
     )
 
 
+def _ngram_count_rows(documents: DataFrame, text_col: str, count_fn, shape) -> DataFrame:
+    """Shared reduce shape for the distributed LM trainers.
+
+    Map side: one flat count array per Arrow batch (mapInPandas —
+    thousands of texts collapse to one row before anything shuffles).
+    Then a DISTRIBUTED second-level reduce: ``posexplode`` the per-batch
+    arrays into (pos, val), drop zeros, and ``groupBy(pos).agg(sum)`` —
+    the same shape as the IVF k-means update
+    (``operators/similarity.train_ivf_centroids``).  The driver therefore
+    receives at most ``prod(shape)`` fixed rows (784 bigram / 21,952
+    trigram) REGARDLESS of corpus size; the earlier formulation collected
+    one count-array row per Arrow batch, which at 100 TB is millions of
+    rows × up to 170 KB funneled into the driver — an OOM by design.
+    Counts are additive integers, so the distributed sum stays bit-exact
+    vs a single-machine train (tested)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType([StructField("counts", ArrayType(LongType()), False)])
+
+    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(shape)
+            for t in pdf[text_col].fillna(""):
+                acc += count_fn(t)
+            yield pd.DataFrame({"counts": [acc.reshape(-1).astype(np.int64).tolist()]})
+
+    return (
+        documents.select(text_col)
+        .mapInPandas(_count_batches, schema=out_schema)
+        .select(F.posexplode("counts").alias("pos", "val"))
+        .where(F.col("val") != 0)  # n-gram tensors are sparse — shuffle only live cells
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def _reduce_ngram_counts(documents: DataFrame, text_col: str, count_fn, shape):
+    import numpy as np
+
+    size = 1
+    for s in shape:
+        size *= s
+    total = np.zeros(size)
+    for r in _ngram_count_rows(documents, text_col, count_fn, shape).collect():
+        total[r.pos] = float(r.val)
+    return total.reshape(shape)
+
+
 def train_char_bigram_lm(documents: DataFrame, text_col: str = "text"):
     """Fit the quality scorer's character-bigram LM on the corpus itself,
     distributed (the KenLM-style step done Spark-first).
 
-    Map side: one 28×28 count matrix per Arrow batch (mapInPandas emits a
-    single 784-long array row per batch — thousands of texts collapse to
-    one row before anything shuffles).  Driver side: sum the per-batch
-    matrices (a few KB each), apply add-one smoothing and row-normalize
-    via :func:`localmod_spark.kernel.quality.logprob_table`.
+    One narrow pass: per-Arrow-batch 28×28 count matrices, reduced
+    DISTRIBUTED via posexplode → groupBy(pos).sum (``_ngram_count_rows``
+    — the driver sees ≤ 784 rows at any corpus size), then add-one
+    smoothing + row-normalization via
+    :func:`localmod_spark.kernel.quality.logprob_table`.
 
     Returns the (28, 28) log-probability ndarray — a model parameter.
     Plug it into ``char_perplexity(text, logprob_flat=table.reshape(-1))``
-    or any scorer that accepts a custom table.  At 100 TB this is one
-    narrow pass with a ~3 KB-per-task reduce — train on the full corpus
-    or a sample, identical plan shape.
+    or any scorer that accepts a custom table.  Train on the full corpus
+    or a sample — identical plan shape.
     """
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
     from localmod_spark.kernel.quality import _N_SYMBOLS, bigram_counts, logprob_table
 
-    out_schema = StructType([StructField("counts", ArrayType(LongType()), False)])
-
-    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            acc = np.zeros((_N_SYMBOLS, _N_SYMBOLS))
-            for t in pdf[text_col].fillna(""):
-                acc += bigram_counts(t)
-            yield pd.DataFrame({"counts": [acc.reshape(-1).astype(np.int64).tolist()]})
-
-    rows = documents.select(text_col).mapInPandas(_count_batches, schema=out_schema).collect()
-    total = np.zeros(_N_SYMBOLS * _N_SYMBOLS)
-    for r in rows:
-        total += np.array(r.counts, dtype=np.float64)
-    return logprob_table(total.reshape(_N_SYMBOLS, _N_SYMBOLS))
+    total = _reduce_ngram_counts(documents, text_col, bigram_counts, (_N_SYMBOLS, _N_SYMBOLS))
+    return logprob_table(total)
 
 
 def train_char_kn_trigram_lm(documents: DataFrame, text_col: str = "text", discount: float = 0.75):
     """Fit a KenLM-style interpolated Kneser-Ney character-TRIGRAM LM on
-    the corpus, distributed — same one-narrow-pass shape as the bigram
-    trainer, with a 28³ (≈170 KB) count tensor per Arrow batch reduced
-    driver-side, then KN smoothing (:func:`kernel.quality.kn_logprob_table`)
-    on the summed counts.  Returns the dense (28², 28) log-probability
-    table; score with ``char_perplexity_trigram(text, table.reshape(-1))``.
-    Counts are additive, so the distributed sum equals a single-machine
-    train bit for bit (tested)."""
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
+    the corpus, distributed — same one-narrow-pass +
+    distributed-second-level-reduce shape as the bigram trainer (the
+    driver sees ≤ 28³ = 21,952 rows at any corpus size), then KN
+    smoothing (:func:`kernel.quality.kn_logprob_table`) on the summed
+    counts.  Returns the dense (28², 28) log-probability table; score
+    with ``char_perplexity_trigram(text, table.reshape(-1))``.  Counts
+    are additive, so the distributed sum equals a single-machine train
+    bit for bit (tested)."""
     from localmod_spark.kernel.quality import _N_SYMBOLS, kn_logprob_table, trigram_counts
 
-    out_schema = StructType([StructField("counts", ArrayType(LongType()), False)])
-
-    def _count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            acc = np.zeros((_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS))
-            for t in pdf[text_col].fillna(""):
-                acc += trigram_counts(t)
-            yield pd.DataFrame({"counts": [acc.reshape(-1).astype(np.int64).tolist()]})
-
-    rows = documents.select(text_col).mapInPandas(_count_batches, schema=out_schema).collect()
-    total = np.zeros(_N_SYMBOLS**3)
-    for r in rows:
-        total += np.array(r.counts, dtype=np.float64)
-    return kn_logprob_table(total.reshape(_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS), discount=discount)
+    total = _reduce_ngram_counts(
+        documents, text_col, trigram_counts, (_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS)
+    )
+    return kn_logprob_table(total, discount=discount)

@@ -16,6 +16,14 @@ materializes each stage to parquet and commits a lineage row per stage
     bands) restart from ``pairs/`` or ``clusters/`` instead of from raw
     text.
 
+Resume is PARAMETER-AWARE: every ledger row records the JSON of the
+parameters that stage's output depends on, and ``completed_stages`` only
+trusts a stage whose recorded params match the requested run's — so
+re-running with ``threshold=0.8`` against an out_dir built at 0.9
+recomputes ``pairs/`` (and everything downstream) instead of silently
+reusing stale artifacts, while still reusing the expensive ``bands/``
+sketch whose params didn't change.
+
 Stages (each a parquet dir under out_dir):
   valid/       validity-gated docs           (doc_id, lang, text)
   bands/       exploded MinHash band table   (doc_id, band_ix, band_hash)
@@ -26,17 +34,24 @@ Stages (each a parquet dir under out_dir):
 
 from __future__ import annotations
 
+import json
 import os
 import time
+import warnings
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from localmod_spark.plans.pipeline import _append_ledger_row, _hadoop_fs
 
 STAGES = ("valid", "bands", "pairs", "clusters", "selected")
+
+# A band bucket this wide in an UNCAPPED run means the candidate join is
+# about to go quadratic on one bucket — warn loudly (the capped path
+# bounds it; see operators/dedup.minhash_candidates).
+WIDE_BUCKET_WARN = 10_000
 
 
 @dataclass
@@ -55,23 +70,75 @@ def _ledger_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
-def completed_stages(spark: SparkSession, out_dir: str) -> set:
+def _stage_params(
+    threshold: float,
+    num_hashes: int,
+    shingle_k: int,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: Optional[int],
+    max_len: int,
+    token_band: Tuple[int, int],
+) -> Dict[str, str]:
+    """Per-stage JSON of the parameters the stage's OUTPUT depends on —
+    the invalidation key for resume.  Downstream-only params don't
+    invalidate upstream stages (changing token_band reruns only
+    ``selected``; changing threshold reruns ``pairs`` onward but reuses
+    the sketch)."""
+    valid = {"max_len": max_len}
+    bands_p = dict(
+        valid, num_hashes=num_hashes, shingle_k=shingle_k, bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    pairs = dict(bands_p, threshold=threshold, max_bucket=max_bucket)
+    clusters = dict(pairs)
+    selected = dict(clusters, token_band=list(token_band))
+    return {
+        stage: json.dumps(p, sort_keys=True)
+        for stage, p in (
+            ("valid", valid), ("bands", bands_p), ("pairs", pairs),
+            ("clusters", clusters), ("selected", selected),
+        )
+    }
+
+
+def completed_stages(
+    spark: SparkSession, out_dir: str, stage_params: Optional[Dict[str, str]] = None
+) -> set:
     path = _ledger_path(out_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return set()
     try:
-        rows = (
-            spark.read.parquet(path)
-            .where(F.col("status") == "done")
-            .select("stage")
-            .distinct()
-            .collect()
-        )
-        done = {r["stage"] for r in rows}
+        ledger = spark.read.parquet(path).where(F.col("status") == "done")
+        if stage_params is not None:
+            if "params" not in ledger.columns:
+                warnings.warn(
+                    f"selection ledger at {path} predates parameter tracking; "
+                    "recomputing all stages",
+                    stacklevel=2,
+                )
+                return set()
+            # only the LATEST row per stage describes what's on disk —
+            # a rerun under new params overwrites the stage dir but the
+            # superseded ledger rows (old params) remain appended
+            rows = ledger.select("stage", "params", "finished").collect()
+            latest: Dict[str, tuple] = {}
+            for r in rows:
+                if r["stage"] not in latest or r["finished"] > latest[r["stage"]][1]:
+                    latest[r["stage"]] = (r["params"], r["finished"])
+            done = {s for s, (p, _) in latest.items() if stage_params.get(s) == p}
+            stale = set(latest) - done
+            if stale:
+                warnings.warn(
+                    f"selection stages {sorted(stale)} were built with different "
+                    "parameters; recomputing them (and their downstream stages)",
+                    stacklevel=2,
+                )
+        else:
+            rows = ledger.select("stage").distinct().collect()
+            done = {r["stage"] for r in rows}
     except Exception as e:  # noqa: BLE001
-        import warnings
-
         warnings.warn(f"selection ledger unreadable ({e!r}); recomputing all stages", stacklevel=2)
         return set()
     # a ledger row without its data dir (manual cleanup, partial copy) must
@@ -99,7 +166,17 @@ def run_selection(
     Stage semantics match the oracled ``corpus_select`` query exactly
     (equivalence-tested), so the staged job inherits its correctness
     gate.  ``max_bucket`` opts into the giant-bucket cap for the banding
-    join (recall trade — see ``operators/dedup.minhash_candidates``)."""
+    join (recall trade — see ``operators/dedup.minhash_candidates``);
+    when capped, the averted blowup is recorded in the pairs stage's
+    ledger row (dropped_buckets / dropped_pairs / max_bucket_width);
+    when uncapped, a bucket wider than ``WIDE_BUCKET_WARN`` triggers a
+    loud warning (measured on the staged band table — one cheap narrow
+    aggregation, only on the run that builds ``pairs``).
+
+    Resume is parameter-aware: a stage is only skipped when its ledger
+    row's recorded params match this call's (see :func:`_stage_params`);
+    stages built under different params are recomputed, never silently
+    reused."""
     from localmod_spark.operators.dedup import (
         candidates_from_bands,
         dup_clusters,
@@ -109,10 +186,19 @@ def run_selection(
     )
     from localmod_spark.operators.validate import with_validity
 
-    done = completed_stages(spark, out_dir) if resume else set()
+    params = _stage_params(
+        threshold, num_hashes, shingle_k, bands, rows_per_band, max_bucket, max_len, token_band
+    )
+    # invalidation cascades: a stage whose input stage reruns must rerun
+    # too, even if its own params row matches (its input data changed)
+    done = completed_stages(spark, out_dir, params) if resume else set()
+    for i, s in enumerate(STAGES):
+        if s not in done:
+            done -= set(STAGES[i:])
+            break
     run: List[str] = []
 
-    def _commit(stage: str, df: DataFrame) -> DataFrame:
+    def _commit(stage: str, df: DataFrame, extra_metrics: Optional[dict] = None) -> DataFrame:
         path = _stage_path(out_dir, stage)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
@@ -126,6 +212,9 @@ def run_selection(
                 "status": "done",
                 "rows": staged.count(),
                 "wall_ms": round((time.time() - t0) * 1000, 2),
+                "params": params[stage],
+                "metrics": json.dumps(extra_metrics or {}, sort_keys=True),
+                "finished": time.time(),
             },
         )
         run.append(stage)
@@ -157,13 +246,59 @@ def run_selection(
     if "pairs" in done:
         pairs = _read("pairs")
     else:
-        cands = candidates_from_bands(band_tbl, max_bucket=max_bucket)
-        pairs = _commit(
-            "pairs",
+        obs = Observation("selection_bucket_cap") if max_bucket is not None else None
+        cands = candidates_from_bands(band_tbl, max_bucket=max_bucket, observation=obs)
+        pairs_df = (
             ngram_jaccard(valid, cands, n=shingle_k)
             .where(F.round("jaccard", 4) >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")),
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
+        if max_bucket is not None:
+            # write first so the observation's metrics (which ride the
+            # write action) are available for the ledger row
+            path = _stage_path(out_dir, "pairs")
+            t0 = time.time()
+            pairs_df.write.mode("overwrite").parquet(path)
+            try:
+                m = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
+            except Exception:  # noqa: BLE001 — AQE empty-relation propagation
+                # can elide the CollectMetrics node when the pair set is
+                # empty; record an empty metrics doc rather than failing
+                m = {}
+            pairs = spark.read.parquet(path)
+            _append_ledger_row(
+                spark,
+                _ledger_path(out_dir),
+                {
+                    "wave": STAGES.index("pairs"),
+                    "stage": "pairs",
+                    "status": "done",
+                    "rows": pairs.count(),
+                    "wall_ms": round((time.time() - t0) * 1000, 2),
+                    "params": params["pairs"],
+                    "metrics": json.dumps(m, sort_keys=True),
+                    "finished": time.time(),
+                },
+            )
+            run.append("pairs")
+        else:
+            # uncapped: check the staged band table for quadratic-risk
+            # buckets (narrow scan + partial agg — cheap, and only on the
+            # run that builds pairs/)
+            widest = (
+                band_tbl.groupBy("band_ix", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_w"))
+                .agg(F.max("_w"))
+                .first()[0]
+            )
+            if widest is not None and widest > WIDE_BUCKET_WARN:
+                warnings.warn(
+                    f"uncapped banding join: widest bucket has {widest} members "
+                    f"(> {WIDE_BUCKET_WARN}) — the candidate join is quadratic within "
+                    "a bucket; pass max_bucket (and run exact_dedup upstream) at scale",
+                    stacklevel=2,
+                )
+            pairs = _commit("pairs", pairs_df, {"max_bucket_width": int(widest or 0)})
 
     if "clusters" in done:
         clusters = _read("clusters")

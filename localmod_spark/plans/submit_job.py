@@ -50,6 +50,13 @@ def main(argv=None) -> int:
         "--max-concurrent-waves", type=int, default=1,
         help="submit this many wave jobs at once (scheduler fills idle slots)",
     )
+    p.add_argument(
+        "--model-dir", default=None,
+        help="local HF checkpoint dir (or LOCALMOD_SPARK_MODEL_DIR): when "
+        "torch/transformers and checkpoints are present, the O3/O6 slots run "
+        "real batched inference; otherwise pattern-only (reference's own "
+        "degradation, toxicity.py:113-118)",
+    )
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
@@ -120,6 +127,19 @@ def main(argv=None) -> int:
     cfg = config_from_env()
     if args.classifiers:
         cfg = cfg._replace(classifiers=tuple(args.classifiers.split(",")))
+    # env-gated real-model slots: load only when libs + local checkpoints
+    # exist (never a download); absent → the mocks/pattern-only defaults
+    from localmod_spark.models.real_inference import (
+        load_real_nsfw_prob_fn,
+        load_real_toxicity_batch_fns,
+    )
+
+    tox_fns = load_real_toxicity_batch_fns(args.model_dir)
+    if tox_fns:
+        cfg = cfg._replace(toxicity_model_batch_fns=tox_fns)
+    nsfw_fn = load_real_nsfw_prob_fn(args.model_dir)
+    if nsfw_fn:
+        cfg = cfg._replace(nsfw_prob_fn=nsfw_fn)
 
     res = run_pipeline(
         spark,

@@ -16,14 +16,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_report_json(scored: DataFrame, device: str = "cpu") -> DataFrame:
+#: registry order (`src/localmod/classifiers/__init__.py:29-35`)
+ALL_CLASSIFIERS = ("toxicity", "pii", "prompt_injection", "spam", "nsfw")
+
+
+def with_report_json(scored: DataFrame, device: str = "cpu", classifiers=None) -> DataFrame:
     """Append ``report``: the per-turn JSON document with the FULL
     ``SafetyReport.to_dict`` shape (`src/localmod/pipeline.py:27-35`):
     flagged, severity, results[] (each with classifier, flagged,
     confidence rounded to 4 per `models/base.py:33`, severity,
     flagged-only categories, metadata, explanation), summary,
     processing_time_ms rounded to 2, and the pipeline metadata
-    (classifiers_run, device — `pipeline.py:139-142`)."""
+    (classifiers_run, device — `pipeline.py:139-142`).
+
+    ``classifiers``: the ENABLED classifier set (pass
+    ``PipelineConfig.classifiers``; default = all five).  results[] and
+    metadata.classifiers_run are built from it in registry order, so a
+    pipeline run with classifiers disabled never emits a report claiming
+    they ran (the reference's per-run classifiers_run is likewise the
+    requested subset, `pipeline.py:102-103,139-142`)."""
+    enabled = list(ALL_CLASSIFIERS) if classifiers is None else [
+        c for c in ALL_CLASSIFIERS if c in set(classifiers)
+    ]
+    if not enabled:
+        raise ValueError("with_report_json needs at least one enabled classifier")
 
     def result_struct(name: str, short: str, cats):
         return F.struct(
@@ -37,24 +53,25 @@ def with_report_json(scored: DataFrame, device: str = "cpu") -> DataFrame:
         )
 
     empty = F.array().cast("array<string>")
-    results = F.array(
-        # fixed-category classifiers: `toxicity.py:183`, `nsfw.py:131`
-        result_struct(
+    # fixed-category classifiers: `toxicity.py:183`, `nsfw.py:131`
+    all_structs = {
+        "toxicity": lambda: result_struct(
             "toxicity", "tox",
             F.when(F.col("tox_flagged"), F.array(F.lit("toxic"))).otherwise(empty),
         ),
-        result_struct("pii", "pii", F.col("pii_categories")),
-        result_struct("prompt_injection", "inj", F.col("inj_categories")),
-        result_struct("spam", "spam", F.col("spam_categories")),
-        result_struct(
+        "pii": lambda: result_struct("pii", "pii", F.col("pii_categories")),
+        "prompt_injection": lambda: result_struct(
+            "prompt_injection", "inj", F.col("inj_categories")
+        ),
+        "spam": lambda: result_struct("spam", "spam", F.col("spam_categories")),
+        "nsfw": lambda: result_struct(
             "nsfw", "nsfw",
             F.when(F.col("nsfw_flagged"), F.array(F.lit("sexual_content"))).otherwise(empty),
         ),
-    )
+    }
+    results = F.array(*[all_structs[c]() for c in enabled])
     metadata = F.struct(
-        F.array(*[F.lit(c) for c in
-                  ("toxicity", "pii", "prompt_injection", "spam", "nsfw")]
-                ).alias("classifiers_run"),
+        F.array(*[F.lit(c) for c in enabled]).alias("classifiers_run"),
         F.lit(device).alias("device"),
     )
     return scored.withColumn(
@@ -97,9 +114,13 @@ def with_explanation(scored: DataFrame, classifier: str = "pipeline") -> DataFra
     )
 
 
-def write_jsonl(scored: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_jsonl(
+    scored: DataFrame, path: str, mode: str = "overwrite", classifiers=None
+) -> None:
     """JSON-lines export of the report documents."""
-    with_report_json(scored).select("conv_id", "turn_idx", "report").write.mode(mode).json(path)
+    with_report_json(scored, classifiers=classifiers).select(
+        "conv_id", "turn_idx", "report"
+    ).write.mode(mode).json(path)
 
 
 def write_table(df: DataFrame, path: str, partition_col: str = None, mode: str = "overwrite") -> None:

@@ -357,3 +357,107 @@ def test_select_representatives_picks_best_quality(spark):
     got = {r.cluster: (r.doc_id, r.quality_score)
            for r in select_representatives(clusters, scores).collect()}
     assert got == {0: (1, 0.9), 3: (3, 0.5), 5: (5, 0.7)}  # tie 1v2 -> min id
+
+
+def test_bucket_cap_observation_counts_drops(spark):
+    """The giant-bucket cap's recall trade is observable: plant one
+    pathological bucket (30 identical texts) and read the drop counters
+    off the candidate action itself."""
+    from pyspark.sql import Observation
+
+    rows = [(i, "the same boilerplate sentence repeated everywhere verbatim") for i in range(30)]
+    rows += [(100 + i, f"unique document number {i} with its own words") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = with_minhash(df, num_hashes=16)
+    obs = Observation("cap_test")
+    cands = minhash_candidates(sigs, bands=4, rows_per_band=4, max_bucket=10, observation=obs)
+    try:
+        n_pairs = cands.count()
+        m = obs.get
+        assert m["dropped_buckets"] >= 4  # the giant text fills all 4 bands
+        assert m["max_bucket_width"] >= 30
+        assert m["dropped_pairs"] >= 4 * (30 * 29 // 2)
+        # and the cap really kept the quadratic pairs out
+        assert n_pairs < 30 * 29 // 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_simhash_cap_observation(spark):
+    from pyspark.sql import Observation
+
+    from localmod_spark.operators.dedup import simhash_candidates
+
+    rows = [(i, "identical text for every row here") for i in range(20)]
+    # two near-identical docs that survive the cap (bucket width 2) — a
+    # fully-empty result would let AQE's empty-relation propagation elide
+    # the CollectMetrics node and lose the observation
+    rows += [(100, "a second distinct pair of documents kept"),
+             (101, "a second distinct pair of documents kept")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = with_simhash(df, bits=64)
+    obs = Observation("simhash_cap")
+    cands = simhash_candidates(sigs, max_bucket=5, observation=obs)
+    try:
+        got = cands.collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(100, 101)}  # giant bucket capped away
+        m = obs.get
+        assert m["dropped_buckets"] >= 4 and m["max_bucket_width"] == 20
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_release_stage_caches_unpersists(spark, docs):
+    from localmod_spark.operators.dedup import release_stage_caches
+
+    release_stage_caches()  # drain anything earlier tests left behind
+    cands = minhash_candidates(with_minhash(docs, num_hashes=16), bands=4, rows_per_band=4)
+    cands.count()
+    assert release_stage_caches() >= 1
+    assert release_stage_caches() == 0  # registry drained
+
+
+def test_repeated_spans_flags_shared_boilerplate(spark):
+    """Two docs share an exact 5-gram footer; a third is clean.  The span
+    table must flag the footer at its position in BOTH docs and nothing
+    in the clean doc."""
+    from localmod_spark.operators.dedup import repeated_spans
+
+    footer = "generated by the acme pipeline"
+    rows = [
+        (0, "first document body text here " + footer),
+        (1, "a different second document " + footer),
+        (2, "totally unrelated clean content with no shared phrasing at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_spans(df, n=5, min_docs=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    assert {r.gram for r in by_doc[0]} == {footer}
+    assert {r.gram for r in by_doc[1]} == {footer}
+    assert all(r.n_docs == 2 for r in got)
+    # position = 0-based token offset of the span start
+    assert by_doc[0][0].pos == 5 and by_doc[1][0].pos == 4
+
+
+def test_repeated_spans_max_df_cap_is_observable(spark):
+    """Grams over the doc-frequency cap are excluded from the output AND
+    counted — never silently truncated."""
+    from pyspark.sql import Observation
+
+    from localmod_spark.operators.dedup import repeated_spans
+
+    ubiquitous = "standard legal disclaimer text block"
+    rows = [(i, f"doc {i} body content " + ubiquitous) for i in range(10)]
+    rows += [(100, "pairwise shared sentence fragment here doc a"),
+             (101, "pairwise shared sentence fragment here doc b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("span_cap")
+    got = repeated_spans(df, n=5, min_docs=2, max_df=5, observation=obs).collect()
+    grams = {r.gram for r in got}
+    assert ubiquitous not in grams  # df=10 > cap
+    assert "pairwise shared sentence fragment here" in grams  # df=2 kept
+    m = obs.get
+    assert m["dropped_grams"] >= 1 and m["max_gram_df"] == 10

@@ -222,3 +222,21 @@ def test_kn_trigram_udf_matches_kernel(spark):
     flat = table.reshape(-1)
     for i, t in enumerate(texts):
         assert got[i] == char_perplexity_trigram(t, flat)
+
+
+def test_lm_trainer_driver_reduce_is_bounded(spark):
+    """The distributed second-level reduce bounds what reaches the driver
+    at prod(shape) rows REGARDLESS of partition/batch count — the round-3
+    design flaw was one 170 KB count row per Arrow batch funneled to the
+    driver.  Feed a many-partition input and count the reduce's rows."""
+    from localmod_spark.kernel.quality import _N_SYMBOLS, bigram_counts, trigram_counts
+    from localmod_spark.operators.textstats import _ngram_count_rows
+
+    texts = [(f"document number {i} with some english words",) for i in range(200)]
+    docs = spark.createDataFrame(texts, "text string").repartition(16)
+    bi = _ngram_count_rows(docs, "text", bigram_counts, (_N_SYMBOLS, _N_SYMBOLS))
+    assert bi.count() <= _N_SYMBOLS**2
+    tri = _ngram_count_rows(
+        docs, "text", trigram_counts, (_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS)
+    )
+    assert tri.count() <= _N_SYMBOLS**3

@@ -195,3 +195,54 @@ def test_simhash_bucket_cap_prunes_before_join(spark):
         assert plan.count("ArrowEvalPython") == plan.count("InMemoryRelation"), plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_ann_join_topk_is_bucket_equi_join(spark):
+    """The batched ANN join must plan as a keyed equi-join on the bucket
+    (shuffle/broadcast HASH join) — never a cartesian or nested-loop over
+    corpus × queries, and no per-query driver collect exists by
+    construction (one plan, one window)."""
+    from localmod_spark.operators.similarity import ann_join_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    plan = plan_of(ann_join_topk(q, emb, dim=64, k=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "_probe" in plan  # the probe bucket really is the join key
+    assert "Window" in plan  # per-query top-k is a window, not a loop
+
+
+def test_lsh_topk_probe_filter_pushes_to_scan(spark, tmp_path_factory):
+    """The round-3 scale flaw: lsh_topk's probe predicate compared against
+    the broadcast query row, so the full corpus was scanned and filtered
+    after the join.  Now the probe set is resolved driver-side into
+    literals: on a table with a MATERIALIZED lsh_bucket column the filter
+    reaches the parquet scan as In(lsh_bucket, ...)."""
+    from localmod_spark.operators.similarity import lsh_topk, with_lsh_bucket
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = str(tmp_path_factory.mktemp("bucketed_emb"))
+    with_lsh_bucket(emb, dim=64, n_planes=8).write.mode("overwrite").parquet(d)
+    staged = spark.read.parquet(d)
+    plan = formatted(lsh_topk(staged, query_vec_id=0, k=10, hamming=1, n_planes=8))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "In(lsh_bucket" in l]
+    assert pushed, plan
+
+
+def test_lsh_topk_inline_filter_sits_below_join(spark):
+    """Even without a materialized bucket column, the literal probe filter
+    applies on the corpus side BEFORE the broadcast join (the old shape
+    filtered after it)."""
+    from localmod_spark.operators.similarity import lsh_topk, with_lsh_bucket
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bucketed = with_lsh_bucket(emb, dim=64, n_planes=8)
+    plan = plan_of(lsh_topk(bucketed, query_vec_id=0, k=10, hamming=1, n_planes=8))
+    lines = plan.splitlines()
+    join_ix = min(i for i, l in enumerate(lines) if "Join" in l)
+    filt_ix = [i for i, l in enumerate(lines) if " IN (" in l or "lsh_bucket#" in l and "INSET" in l.upper()]
+    # tree printing puts children BELOW their parent: the probe filter
+    # must appear after (deeper than) the join node, not above it
+    assert filt_ix and min(filt_ix) > join_ix, plan

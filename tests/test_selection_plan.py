@@ -78,3 +78,58 @@ def test_selection_dedups_planted_duplicates(spark, tmp_path):
     # the staged pairs table carries the verified duplicate
     pairs = spark.read.parquet(str(tmp_path / "sel" / "pairs"))
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
+def test_selection_param_change_invalidates_stale_stages(spark, docs, tmp_path):
+    """ADVICE r3 (medium): re-running with different params must NOT
+    silently reuse staged artifacts built under the old ones — stale
+    stages (and everything downstream) recompute; the expensive sketch
+    whose params didn't change is still reused."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out, threshold=0.9)
+    with _pytest.warns(UserWarning, match="different parameters"):
+        res = run_selection(spark, docs, out, threshold=0.8)
+    assert set(res.stages_run) == {"pairs", "clusters", "selected"}
+    assert set(res.stages_skipped) == {"valid", "bands"}
+    # the rebuilt artifacts equal a fresh 0.8 run...
+    fresh = run_selection(spark, docs, str(tmp_path / "fresh"), threshold=0.8)
+    got = {(r.doc_id, r.n_tokens) for r in res.selected.collect()}
+    want = {(r.doc_id, r.n_tokens) for r in fresh.selected.collect()}
+    assert got == want
+    # ...and a rerun under the NEW params now skips everything (latest
+    # ledger row wins; the superseded 0.9 rows no longer match)
+    again = run_selection(spark, docs, out, threshold=0.8)
+    assert again.stages_run == [] and set(again.stages_skipped) == set(STAGES)
+
+
+def test_selection_ledger_records_cap_metrics(spark, tmp_path):
+    """With the giant-bucket cap on, the averted blowup lands in the pairs
+    stage's ledger row — the drop is auditable, not silent."""
+    import json
+
+    rows = [(i, "en", "standard boilerplate sentence repeated in every ingest batch") for i in range(30)]
+    rows += [(100, "en", "one genuinely unique document about alpine meadow ecology surveys"),
+             (101, "en", "one genuinely unique document about alpine meadow ecology survey")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "sel")
+    run_selection(spark, df, out, max_bucket=10)
+    ledger = spark.read.parquet(f"{out}/_lineage")
+    m = json.loads(ledger.where("stage = 'pairs'").select("metrics").first()[0])
+    assert m.get("dropped_buckets", 0) >= 1
+    assert m.get("max_bucket_width", 0) >= 30
+
+
+def test_selection_uncapped_wide_bucket_warns(spark, tmp_path, monkeypatch):
+    """ADVICE r3: an UNCAPPED run that meets a quadratic-risk bucket must
+    warn loudly (measured on the staged band table)."""
+    import pytest as _pytest
+
+    from localmod_spark.plans import selection as sel_mod
+
+    monkeypatch.setattr(sel_mod, "WIDE_BUCKET_WARN", 10)
+    rows = [(i, "en", "the same boilerplate sentence repeated for every single row") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with _pytest.warns(UserWarning, match="uncapped banding join"):
+        run_selection(spark, df, str(tmp_path / "sel"), max_bucket=None)

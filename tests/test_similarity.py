@@ -193,3 +193,50 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(set(exact) & set(quant)) >= 8
     for vid in set(exact) & set(quant):
         assert abs(exact[vid] - quant[vid]) < 0.02, vid
+
+
+def test_knn_join_matches_per_query_exact(emb, spark):
+    """The batched kNN join's per-query rows equal the single-query exact
+    operator for every query — one corpus scan replaces Q driver loops."""
+    from localmod_spark.operators.similarity import knn_join
+
+    queries = emb.where(F.col("vec_id").isin([0, 7, 999]))
+    got = knn_join(queries, emb, k=4).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rk, r.vec_id, r.cosine))
+    assert set(by_query) == {0, 7, 999}
+    for qid, rows in by_query.items():
+        rows.sort()
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(cosine_topk(emb, qid, k=4).collect())]
+        assert rows == want, f"query {qid}"
+
+
+def test_ann_join_topk_finds_planted_neighbor_per_query(emb, spark):
+    """Bucketed multi-query ANN: the planted near-dup of vec 0 must
+    surface as its rank-1 neighbor (identical signatures ⇒ same bucket),
+    and every query gets at most k rows with contiguous ranks."""
+    from localmod_spark.operators.similarity import ann_join_topk
+
+    queries = emb.where(F.col("vec_id").isin([0, 3, 999]))
+    got = ann_join_topk(queries, emb, dim=DIM, k=3, n_planes=6, hamming=1).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {0, 3, 999}
+    top0 = min(by_query[0], key=lambda r: r.rk)
+    assert top0.vec_id == 999 and top0.cosine > 0.99
+    for rows in by_query.values():
+        rks = sorted(r.rk for r in rows)
+        assert rks == list(range(1, len(rks) + 1)) and len(rks) <= 3
+
+
+def test_ann_join_topk_no_duplicate_pairs(emb):
+    """A corpus vector joins each query at most once (one bucket per
+    corpus row, distinct probe buckets per query)."""
+    from localmod_spark.operators.similarity import ann_join_topk
+
+    queries = emb.where(F.col("vec_id") < 10)
+    got = ann_join_topk(queries, emb, dim=DIM, k=50, n_planes=6, hamming=1)
+    dup = got.groupBy("query_id", "vec_id").count().where("count > 1").count()
+    assert dup == 0

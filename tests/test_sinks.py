@@ -82,3 +82,17 @@ def test_report_json_matches_safety_report_shape(spark):
     assert not clean["flagged"]
     assert all(r["categories"] == [] for r in clean["results"])  # flagged-only
     assert all(r["severity"] == "none" for r in clean["results"])
+
+
+def test_report_subset_classifiers_run(spark):
+    """ADVICE r3: a pipeline with classifiers disabled must not emit a
+    report claiming they ran — classifiers_run and results[] reflect the
+    enabled subset, in registry order."""
+    from localmod_spark.kernel.aggregate import DEFAULT_CONFIG
+
+    subset = ("pii", "spam")
+    cfg = DEFAULT_CONFIG._replace(classifiers=subset)
+    scored = score_turns(synth_transcripts(spark, 40, slices=1), cfg=cfg)
+    doc = json.loads(with_report_json(scored, classifiers=subset).select("report").first()[0])
+    assert doc["metadata"]["classifiers_run"] == ["pii", "spam"]
+    assert [r["classifier"] for r in doc["results"]] == ["pii", "spam"]

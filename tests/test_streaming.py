@@ -128,3 +128,55 @@ def test_streaming_ingest_dedup_drops_redeliveries(spark, tmp_path_factory):
     out = spark.sql("select * from dedup_mem")
     assert out.count() == 300
     assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+
+
+def test_dedup_stream_state_evicted_past_watermark(spark, tmp_path_factory):
+    """State-bound evidence (VERDICT r3 #8): dropDuplicatesWithinWatermark
+    must EVICT key state once the watermark passes it — feed files whose
+    event time advances one hour per micro-batch with a 30-minute delay
+    and read eviction off the state-store metrics."""
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("evict_src"))
+    base = dt.datetime(2024, 1, 1)
+    for i in range(6):
+        rows = [
+            (f"c{i}", t, "user", f"turn {t} of conversation {i}", None,
+             base + dt.timedelta(hours=i, seconds=t))
+            for t in range(20)
+        ]
+        # one file per write → one micro-batch per file (oldest-first)
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    from localmod_spark.streaming.score_stream import dedup_stream
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    deduped = dedup_stream(stream, key_cols=("conv_id", "turn_idx"), delay="30 minutes")
+    q = (
+        deduped.select("conv_id", "turn_idx")
+        .writeStream.format("memory")
+        .queryName("evict_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.sql("select * from evict_mem").count() == 120
+    state = [
+        p["stateOperators"][0]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert state, "no state-operator progress recorded"
+    removed = sum(s.get("numRowsRemoved", 0) for s in state)
+    final_total = state[-1]["numRowsTotal"]
+    # rows an hour behind the watermark were dropped from the store: the
+    # store never holds all 120 keys at once
+    assert removed > 0
+    assert final_total < 120
