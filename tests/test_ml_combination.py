@@ -199,8 +199,18 @@ def test_classify_media_nsfw_spark(spark):
 def test_classify_media_nsfw_real_decode_marked(spark):
     from localmod_spark.operators.multimodal import classify_media_nsfw, synth_media
 
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
-        classify_media_nsfw(synth_media(spark, 3), decode="real").collect()
+    # real mode demands the ViT slot up front ...
+    with pytest.raises(ValueError, match="model_fn"):
+        classify_media_nsfw(synth_media(spark, 3), decode="real")
+    # ... and without PIL the decode itself still fails loudly at run time
+    # (skip-gated real-path coverage lives in tests/test_real_models.py)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(Exception, match="NotImplementedError|real decode"):
+            classify_media_nsfw(
+                synth_media(spark, 3), decode="real", model_fn=lambda px: [0.5, 0.5]
+            ).collect()
 
 
 # --------------------------------------------- pipeline-level ML wiring ----
