@@ -1028,6 +1028,85 @@ def _q_ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN over IVF inverted lists: every query row
+    computes its top-n_probe lists as column expressions (struct sort on
+    (-score, list)), explodes into them, and candidates come from a
+    list-equality equi-join + per-query row_number — the codebook sibling
+    of ann_join_topk, zero per-query driver work."""
+    from localmod_spark.operators.similarity import ivf_join_topk
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = ivf_join_topk(q, emb, dim=_EMB_DIM, k=5, n_lists=16, n_probe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+def _q_eval_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dataset benchmark metric sweep (the reference harness's
+    dataset-level evaluation shape, chi2025_benchmark.py:343-381): one
+    grouped aggregate emits a metric row per language split."""
+    from localmod_spark.operators.evaluate import grouped_metrics
+    from localmod_spark.operators.textstats import stopword_ratio_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "lang",
+        (stopword_ratio_col("text") < 0.05).alias("pred"),
+        (F.col("n_chars") < 250).alias("label"),
+    )
+    return grouped_metrics(pairs, ["lang"]).orderBy("lang")
+
+
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold curve in ONE job: explode the threshold list
+    against each (score, label) row, partial-aggregate per threshold —
+    the tuning pass behind the reference's published operating points."""
+    from localmod_spark.operators.evaluate import threshold_sweep
+    from localmod_spark.operators.textstats import stopword_ratio_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        stopword_ratio_col("text").alias("score"),
+        (F.col("n_chars") < 250).alias("label"),
+    )
+    return threshold_sweep(scored, (0.0, 0.05, 0.1, 0.2, 0.3))
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: per language, keep the
+    docs with the highest stop-word share (the quality proxy with a SQL
+    oracle) while the cumulative token count stays within 3000 — the
+    training-mixture builder's final cut, one window per group."""
+    from localmod_spark.operators.sampling import select_token_budget
+    from localmod_spark.operators.textstats import stopword_ratio_col, token_count_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        stopword_ratio_col("text").alias("q"),
+    )
+    out = select_token_budget(
+        docs, budget=3000, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al. ACL'22): every word 5-gram
     span occurring in ≥ 2 distinct documents — the repeated-boilerplate
@@ -1099,6 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_topk": _shipped(_q_quant_topk),
         "knn_join": _shipped(_q_knn_join),
         "repeated_spans": _shipped(_q_repeated_spans),
+        "eval_by_lang": _shipped(_q_eval_by_lang),
+        "threshold_sweep": _shipped(_q_threshold_sweep),
+        "token_budget": _shipped(_q_token_budget),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1106,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _shipped(_q_lsh_topk),
         "ivf_topk": _shipped(_q_ivf_topk),
         "ann_join_topk": _shipped(_q_ann_join_topk),
+        "ivf_join_topk": _shipped(_q_ivf_join_topk),
         "conv_context": _shipped(_q_conv_context),
         "media_features": _shipped(_q_media_features),
         # SQL-checkable via generated oracles (kernel parameter tables —
@@ -1179,6 +1262,127 @@ def _lsh_topk_sql(k: int = 10) -> str:
               AND e.vec_id <> 0
         )
         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _stopword_expr_sql() -> str:
+    return (
+        "(CASE WHEN length(trim(lower(text))) = 0 THEN 0.0 "
+        "ELSE round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains({_STOPLIST_SQL}, x))) "
+        "/ len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) END)"
+    )
+
+
+def _metrics_counts_sql(group: str) -> str:
+    return (
+        f"SELECT {group}, "
+        "CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        "CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+        "CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn "
+        f"FROM pairs GROUP BY {group}"
+    )
+
+
+def _metrics_formula_sql(lead: str) -> str:
+    P = "(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)"
+    R = "(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)"
+    T = "(CASE WHEN tn + fp > 0 THEN tn / CAST(tn + fp AS DOUBLE) ELSE 0.0 END)"
+    return (
+        f"SELECT {lead}tp, fp, fn, tn, "
+        f"round({P}, 6) AS precision, round({R}, 6) AS recall, "
+        f"round(CASE WHEN {P} + {R} > 0 THEN 2 * {P} * {R} / ({P} + {R}) "
+        "ELSE 0.0 END, 6) AS f1, "
+        "round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy, "
+        f"round(({R} + {T}) / 2, 6) AS balanced_accuracy FROM c"
+    )
+
+
+def _eval_by_lang_sql() -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT lang, ({_stopword_expr_sql()} < 0.05) AS pred,
+                   (n_chars < 250) AS label
+            FROM documents
+        ),
+        c AS ({_metrics_counts_sql('lang')})
+        {_metrics_formula_sql('lang, ')} ORDER BY lang
+    """
+
+
+def _threshold_sweep_sql(thresholds=(0.0, 0.05, 0.1, 0.2, 0.3)) -> str:
+    tlist = "[" + ", ".join(repr(float(t)) for t in thresholds) + "]"
+    return f"""
+        WITH s AS (
+            SELECT {_stopword_expr_sql()} AS score, (n_chars < 250) AS label
+            FROM documents
+        ),
+        t AS (SELECT unnest({tlist}) AS threshold),
+        pairs AS (SELECT t.threshold, (s.score >= t.threshold) AS pred, s.label FROM s, t),
+        c AS ({_metrics_counts_sql('threshold')})
+        {_metrics_formula_sql('threshold, ')}
+    """
+
+
+def _token_budget_sql(budget: int = 3000) -> str:
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                       AS n_tokens,
+                   {_stopword_expr_sql()} AS q
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY q DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM d
+        )
+        SELECT doc_id, lang, n_tokens, cum_tokens FROM w WHERE cum_tokens <= {budget}
+    """
+
+
+def _ivf_join_topk_sql(n_lists: int = 16, seed: int = 23, n_probe: int = 2, k: int = 5) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_lists, _EMB_DIM)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    scores = "[" + ", ".join(_sql_dot("embedding", cents[i]) for i in range(n_lists)) + "]"
+    return f"""
+        WITH s AS (SELECT vec_id, embedding, {scores} AS ls FROM embeddings),
+        assigned AS (
+            SELECT vec_id, embedding,
+                   CAST(list_position(ls, list_max(ls)) - 1 AS BIGINT) AS ivf_list
+            FROM s
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, ls AS qls
+              FROM s WHERE vec_id % 50 = 0),
+        probe AS (
+            SELECT query_id, CAST(i - 1 AS BIGINT) AS lix
+            FROM (SELECT query_id, unnest(qls) AS sc,
+                         unnest(range(1, {n_lists + 1})) AS i FROM q)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sc DESC, i ASC) <= {n_probe}
+        ),
+        cand AS (
+            SELECT q.query_id, a.vec_id,
+                   round({_sql_cos('a.embedding', 'q.qvec')}, 4) AS cosine
+            FROM assigned a JOIN probe p ON a.ivf_list = p.lix
+                 JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rk FROM (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM cand
+        ) WHERE rk <= {k}
     """
 
 
@@ -2029,8 +2233,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join": _knn_join_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "eval_by_lang": _eval_by_lang_sql(),
+        "threshold_sweep": _threshold_sweep_sql(),
+        "token_budget": _token_budget_sql(),
         # generated oracles (seeded constants embedded as literals)
         "ann_join_topk": _ann_join_topk_sql(),
+        "ivf_join_topk": _ivf_join_topk_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "lsh_embedding_dups": _lsh_embedding_dups_sql(),
         "ivf_topk": _ivf_topk_sql(),

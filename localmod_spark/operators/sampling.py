@@ -71,3 +71,35 @@ def split_train_holdout(
         "split",
         F.when(u < F.lit(float(holdout_rate)), F.lit("holdout")).otherwise(F.lit("train")),
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    order_by,
+    token_col: str = "n_tokens",
+    group_cols=("lang",),
+) -> DataFrame:
+    """Quality-ranked TOKEN-BUDGET selection — the training-mixture
+    builder's final cut: per group (language/domain), walk the docs in
+    quality order and keep them while the cumulative token count stays
+    within the group's budget.  Appends ``cum_tokens``.
+
+    ``order_by`` must be a deterministic total order (end it with the id
+    column) — the selection is then rerun/partitioning-stable like the
+    hash samplers above.  One window per group (a single exchange on the
+    group key); a running ``rows between unbounded preceding`` sum —
+    no driver-side iteration, no second pass.  At 10^12 rows a single
+    group IS its whole sort partition, so keep groups at
+    language × domain-shard granularity (the same bounding rule as
+    ``pack_greedy``) or pre-prune with a cheap quality floor before the
+    exact budget cut."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return df.withColumn("cum_tokens", cum).where(F.col("cum_tokens") <= budget)

@@ -520,3 +520,75 @@ def ann_join_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ivf_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = None,
+    query_vec_col: str = None,
+    centroids: "np.ndarray" = None,
+) -> DataFrame:
+    """Batched multi-query ANN join over IVF inverted lists — the
+    codebook-trained sibling of :func:`ann_join_topk`.  Corpus rows get
+    their single nearest-centroid list; each QUERY row computes its own
+    top-``n_probe`` probe lists as pure column expressions (sort the
+    per-centroid dot scores by (-score, list) and slice — no driver
+    work per query, unlike :func:`ivf_topk`'s single-query `first()`),
+    explodes into them, and candidates come from a list-equality
+    EQUI-join + per-query ``row_number``.  Returns
+    (query_id, vec_id, cosine, rk).
+
+    At 10^12 rows: partition/bucket the corpus by ``ivf_list`` (after
+    :func:`train_ivf_centroids`) so the probe join co-locates and each
+    query's candidates read only its lists' partitions."""
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
+    corpus_l = with_ivf_list(
+        corpus, dim, n_lists=len(cents), seed=seed, vec_col=vec_col, centroids=cents
+    )
+    # per-query probe lists: struct sort on (-dot, list_ix) = score desc,
+    # index-ascending ties — the same ranking ivf_topk's driver-side
+    # argsort and the SQL oracle's (ORDER BY sc DESC, i ASC) use
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot(F.col(qvec), F.array(*[F.lit(float(v)) for v in cents[i]]))).alias(
+                        "ns"
+                    ),
+                    F.lit(i).alias("lix"),
+                )
+                for i in range(len(cents))
+            ]
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["lix"])
+    qx = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("_qvec"),
+        F.explode(probes).alias("_plist"),
+    )
+    joined = (
+        corpus_l.join(qx, F.col("ivf_list") == F.col("_plist"))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

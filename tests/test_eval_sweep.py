@@ -1,0 +1,82 @@
+"""Benchmark-sweep + token-budget operators (round 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from localmod_spark.operators.evaluate import (
+    classification_metrics,
+    grouped_metrics,
+    threshold_sweep,
+)
+from localmod_spark.operators.sampling import select_token_budget
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        # (dataset, pred, label)
+        ("a", True, True), ("a", True, False), ("a", False, True), ("a", False, False),
+        ("b", True, True), ("b", True, True), ("b", False, False),
+    ]
+    return spark.createDataFrame(rows, "ds string, pred boolean, label boolean")
+
+
+def test_grouped_metrics_match_per_group_global(spark, pairs):
+    """Each group's row equals classification_metrics run on that group
+    alone — the sweep is a pure reorganization, not a new formula."""
+    sweep = {r.ds: r for r in grouped_metrics(pairs, ["ds"]).collect()}
+    for ds in ("a", "b"):
+        solo = classification_metrics(pairs.where(F.col("ds") == ds)).collect()[0]
+        got = sweep[ds]
+        for f in ("tp", "fp", "fn", "tn", "precision", "recall", "f1",
+                  "accuracy", "balanced_accuracy"):
+            assert getattr(got, f) == getattr(solo, f), (ds, f)
+
+
+def test_grouped_metrics_known_values(spark, pairs):
+    a = {r.ds: r for r in grouped_metrics(pairs, ["ds"]).collect()}["a"]
+    assert (a.tp, a.fp, a.fn, a.tn) == (1, 1, 1, 1)
+    assert a.precision == 0.5 and a.recall == 0.5 and a.f1 == 0.5
+
+
+def test_threshold_sweep_matches_per_threshold(spark):
+    rows = [(0.1, True), (0.3, False), (0.5, True), (0.7, True), (0.9, False)]
+    scored = spark.createDataFrame(rows, "score double, label boolean")
+    ts = (0.2, 0.6, 0.8)
+    sweep = {r.threshold: r for r in threshold_sweep(scored, ts).collect()}
+    assert set(sweep) == set(ts)
+    for t in ts:
+        solo = classification_metrics(
+            scored.withColumn("pred", F.col("score") >= t)
+        ).collect()[0]
+        assert (sweep[t].tp, sweep[t].fp, sweep[t].fn, sweep[t].tn) == (
+            solo.tp, solo.fp, solo.fn, solo.tn), t
+    # raising the threshold can only shrink the predicted-positive set
+    pos = [sweep[t].tp + sweep[t].fp for t in sorted(ts)]
+    assert pos == sorted(pos, reverse=True)
+
+
+def test_token_budget_respects_budget_and_order(spark):
+    rows = [
+        # (doc_id, lang, n_tokens, q) — q is the quality rank key
+        (0, "en", 400, 0.9), (1, "en", 400, 0.8), (2, "en", 400, 0.7),
+        (3, "en", 400, 0.6),
+        (10, "de", 600, 0.5), (11, "de", 600, 0.4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+    out = select_token_budget(
+        df, budget=1000, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
+    )
+    got = {(r.doc_id): r.cum_tokens for r in out.collect()}
+    # en: best-quality docs 0,1 fill 800; doc 2 would hit 1200 > budget
+    # de: doc 10 fills 600; doc 11 would hit 1200
+    assert got == {0: 400, 1: 800, 10: 600}
+
+
+def test_token_budget_partitioning_invariant(spark):
+    rows = [(i, "en", 10 + (i % 7), float((i * 37) % 100) / 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+    order = (F.desc("q"), F.asc("doc_id"))
+    a = {r.doc_id for r in select_token_budget(df.repartition(1), 500, order).collect()}
+    b = {r.doc_id for r in select_token_budget(df.repartition(13), 500, order).collect()}
+    assert a == b and a

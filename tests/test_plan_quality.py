@@ -246,3 +246,15 @@ def test_lsh_topk_inline_filter_sits_below_join(spark):
     # tree printing puts children BELOW their parent: the probe filter
     # must appear after (deeper than) the join node, not above it
     assert filt_ix and min(filt_ix) > join_ix, plan
+
+
+def test_ivf_join_topk_is_list_equi_join(spark):
+    from localmod_spark.operators.similarity import ivf_join_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    plan = plan_of(ivf_join_topk(q, emb, dim=64, k=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "_plist" in plan and "Window" in plan

@@ -240,3 +240,25 @@ def test_ann_join_topk_no_duplicate_pairs(emb):
     got = ann_join_topk(queries, emb, dim=DIM, k=50, n_planes=6, hamming=1)
     dup = got.groupBy("query_id", "vec_id").count().where("count > 1").count()
     assert dup == 0
+
+
+def test_ivf_join_topk_matches_single_query_ivf(emb, spark):
+    """The batched IVF join's per-query rows equal the single-query
+    ivf_topk (same seeded codebook, same probe ranking) for every query —
+    probe lists computed as column expressions, zero driver work."""
+    from localmod_spark.operators.similarity import ivf_join_topk, ivf_topk, with_ivf_list
+
+    queries = emb.where(F.col("vec_id").isin([0, 7, 999]))
+    got = {}
+    for r in ivf_join_topk(queries, emb, dim=DIM, k=3, n_lists=8, n_probe=2).collect():
+        got.setdefault(r.query_id, []).append((r.rk, r.vec_id, r.cosine))
+    listed = with_ivf_list(emb, dim=DIM, n_lists=8)
+    for qid in (0, 7, 999):
+        got[qid].sort()
+        want = [
+            (i + 1, r.vec_id, r.cosine)
+            for i, r in enumerate(
+                ivf_topk(listed, qid, k=3, n_probe=2, dim=DIM, n_lists=8).collect()
+            )
+        ]
+        assert got[qid] == want, qid
