@@ -473,6 +473,8 @@ def ann_join_topk(
     vec_col: str = "embedding",
     query_id_col: str = None,
     query_vec_col: str = None,
+    max_bucket: int = None,
+    observation: "Observation" = None,
 ) -> DataFrame:
     """Batched multi-query ANN join — the 100 TB "kNN for every doc"
     path (near-dup scoring, retrieval decontamination).  Both sides get
@@ -492,10 +494,29 @@ def ann_join_topk(
     At 10^12 rows: materialize ``with_lsh_bucket`` onto the corpus table
     (bucket/partition by ``lsh_bucket``) so the equi-join co-locates and
     the probe-side explode (×(n_planes+1)) touches only the small query
-    table."""
+    table.  Degenerate embeddings (all-zero / boilerplate vectors)
+    collapse into ONE bucket, making that bucket's join side
+    |bucket|×|queries|-wide; AQE's skew-join split absorbs moderate skew,
+    and ``max_bucket`` (opt-in, same recall-for-boundedness trade and
+    ``observation`` counters as the dedup banding caps) prunes
+    pathological buckets before the join."""
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     corpus_b = with_lsh_bucket(corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    if max_bucket is not None:
+        widths = corpus_b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_w"))
+        if observation is not None:
+            over = F.col("_w") > max_bucket
+            widths = widths.observe(
+                observation,
+                F.sum(over.cast("long")).alias("dropped_buckets"),
+                F.sum(F.when(over, F.col("_w")).otherwise(F.lit(0))).alias(
+                    "dropped_corpus_rows"
+                ),
+                F.max("_w").alias("max_bucket_width"),
+            )
+        narrow = widths.where(F.col("_w") <= max_bucket).select("lsh_bucket")
+        corpus_b = corpus_b.join(narrow, "lsh_bucket", "left_semi")
     q_b = with_lsh_bucket(queries, dim=dim, n_planes=n_planes, seed=seed, vec_col=qvec)
     probes = [F.col("lsh_bucket")]
     if hamming >= 1:

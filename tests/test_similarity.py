@@ -262,3 +262,32 @@ def test_ivf_join_topk_matches_single_query_ivf(emb, spark):
             )
         ]
         assert got[qid] == want, qid
+
+
+def test_ann_join_topk_bucket_cap_prunes_degenerate_bucket(spark):
+    """All-identical embeddings collapse into one bucket (the quadratic
+    hazard); with max_bucket the bucket is pruned BEFORE the join and the
+    drop is observable, while distinct vectors still match."""
+    from pyspark.sql import Observation
+
+    from localmod_spark.operators.similarity import ann_join_topk
+
+    rng = np.random.RandomState(3)
+    degen = [(i, [0.5] * DIM) for i in range(40)]
+    base = rng.randn(DIM)
+    normal = [(100, [float(x) for x in base]),
+              (101, [float(x) for x in base + rng.randn(DIM) * 0.01])]
+    emb = spark.createDataFrame(degen + normal, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin([0, 100]))
+    obs = Observation("ann_cap")
+    got = ann_join_topk(
+        queries, emb, dim=DIM, k=3, n_planes=6, max_bucket=10, observation=obs
+    ).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert 0 not in by_query  # its whole bucket was pruned
+    assert by_query[100][0].vec_id == 101
+    m = obs.get
+    assert m["dropped_buckets"] >= 1 and m["max_bucket_width"] >= 40
+    assert m["dropped_corpus_rows"] >= 40
