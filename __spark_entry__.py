@@ -329,7 +329,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     bucketed = with_lsh_bucket(emb, dim=dim, n_planes=8)
-    return lsh_topk(bucketed, query_vec_id=0, k=10, hamming=1).select(
+    return lsh_topk(bucketed, query_vec_id=0, k=10, hamming=1, n_planes=8).select(
         F.col("vec_id").cast("long").alias("vec_id"), "cosine"
     )
 

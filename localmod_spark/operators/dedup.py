@@ -272,13 +272,17 @@ def explode_minhash_bands(
 
 def _cap_metrics(max_bucket: int) -> list:
     """Observation aggregates over the bucket-width table: how much the
-    giant-bucket cap actually dropped (and how wide the worst bucket was)."""
+    giant-bucket cap actually dropped (and how wide the worst bucket was).
+    ``dropped_pairs`` is computed in DOUBLE: a width beyond ~3e9 rows —
+    exactly the pathological case the cap exists for — would overflow
+    ``w*(w-1)`` in long arithmetic (ANSI mode would fail the job; non-ANSI
+    would record garbage); the metric is an audit magnitude, not an exact
+    count, so float precision is the right trade."""
     over = F.col("_w") > max_bucket
+    w = F.col("_w").cast("double")
     return [
         F.sum(over.cast("long")).alias("dropped_buckets"),
-        F.sum(
-            F.when(over, (F.col("_w") * (F.col("_w") - 1) / 2).cast("long")).otherwise(F.lit(0))
-        ).alias("dropped_pairs"),
+        F.sum(F.when(over, w * (w - 1) / 2).otherwise(F.lit(0.0))).alias("dropped_pairs"),
         F.max("_w").alias("max_bucket_width"),
     ]
 

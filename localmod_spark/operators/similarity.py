@@ -371,7 +371,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hamming: int = 0,
-    n_planes: int = 8,
+    n_planes: int = None,
 ) -> DataFrame:
     """Approximate top-k: score only the query's bucket.
 
@@ -381,44 +381,65 @@ def lsh_topk(
     exactly that bit).  With P planes this scans ~(P+1)/2^P of the
     corpus instead of 1/2^P; still bucket-pruned, never a full scan.
 
-    The probe set is resolved DRIVER-side (one ``first()`` on the tiny
-    query row, same shape as :func:`ivf_topk`'s probe list) and applied
-    as a LITERAL ``isin`` filter, so on a table with a materialized
-    ``lsh_bucket`` column the predicate pushes into the scan
-    (``PushedFilters: In(lsh_bucket, ...)``) — the earlier formulation
-    compared against the broadcast query row's bucket, which forced a
-    full-corpus scan filtered only after the join.  ``n_planes`` must
-    match the bucketing call (buckets live in ``[0, 2^n_planes)``)."""
+    The probe set is resolved DRIVER-side (ONE ``first()`` fetches the
+    query's bucket AND vector; the vector is inlined as a literal array,
+    so no join/broadcast exists at all) and applied as a LITERAL
+    ``isin`` filter — on a table with a materialized ``lsh_bucket``
+    column the predicate pushes into the scan (``PushedFilters:
+    In(lsh_bucket, ...)``); the earlier formulation compared against a
+    broadcast query row's bucket, forcing a full-corpus scan filtered
+    only after the join.
+
+    ``n_planes`` is REQUIRED when ``hamming >= 1`` and must equal the
+    plane count the table was bucketed with: the hamming-1 neighborhood
+    is enumerated as one bit flip per plane, so a wrong count silently
+    probes the wrong (or too few) buckets — the operator refuses to
+    guess rather than quietly lose recall."""
+    if hamming >= 1 and n_planes is None:
+        raise ValueError(
+            "hamming>=1 needs n_planes = the plane count used by with_lsh_bucket "
+            "(the hamming-1 probe set is one bit flip per plane)"
+        )
     q_row = (
         embeddings_with_bucket.where(F.col(id_col) == query_vec_id)
-        .select("lsh_bucket")
+        .select("lsh_bucket", vec_col)
         .first()
     )
     if q_row is None:
         raise ValueError(f"query {id_col}={query_vec_id} not found")
     qbucket = int(q_row[0])
+    qvec = F.array(*[F.lit(float(v)) for v in q_row[1]])
     probe_buckets = [qbucket]
     if hamming >= 1:
         # flipping exactly one plane sign toggles exactly one bucket bit
         probe_buckets += [qbucket ^ (1 << i) for i in range(n_planes)]
-    q = embeddings_with_bucket.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    scored = (
-        embeddings_with_bucket.where(
-            F.col("lsh_bucket").isin(probe_buckets) & (F.col(id_col) != query_vec_id)
-        )
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                4,
-            ).alias("cosine"),
-        )
+    scored = embeddings_with_bucket.where(
+        F.col("lsh_bucket").isin(probe_buckets) & (F.col(id_col) != query_vec_id)
+    ).select(
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * _norm(qvec)), 4
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _per_query_topk(joined: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared tail of the batched ANN joins (exact / LSH / IVF): cosine
+    against the joined ``_qvec``, then per-query ``row_number`` top-k —
+    keeping the score arithmetic and tie-break identical across all
+    three operators (and their SQL oracles)."""
+    scored = joined.select(
+        "query_id",
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
 def knn_join(
@@ -444,21 +465,8 @@ def knn_join(
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qvec"))
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                4,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    joined = corpus.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    return _per_query_topk(joined, k, id_col, vec_col)
 
 
 def ann_join_topk(
@@ -526,21 +534,10 @@ def ann_join_topk(
         F.col(qvec).alias("_qvec"),
         F.explode(F.array(*probes)).alias("_probe"),
     )
-    joined = (
-        corpus_b.join(qx, F.col("lsh_bucket") == F.col("_probe"))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                4,
-            ).alias("cosine"),
-        )
+    joined = corpus_b.join(qx, F.col("lsh_bucket") == F.col("_probe")).where(
+        F.col(id_col) != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return _per_query_topk(joined, k, id_col, vec_col)
 
 
 def ivf_join_topk(
@@ -598,18 +595,7 @@ def ivf_join_topk(
         F.col(qvec).alias("_qvec"),
         F.explode(probes).alias("_plist"),
     )
-    joined = (
-        corpus_l.join(qx, F.col("ivf_list") == F.col("_plist"))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            F.round(
-                _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
-                4,
-            ).alias("cosine"),
-        )
+    joined = corpus_l.join(qx, F.col("ivf_list") == F.col("_plist")).where(
+        F.col(id_col) != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return joined.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return _per_query_topk(joined, k, id_col, vec_col)

@@ -198,7 +198,11 @@ def run_selection(
             break
     run: List[str] = []
 
-    def _commit(stage: str, df: DataFrame, extra_metrics: Optional[dict] = None) -> DataFrame:
+    def _commit(stage: str, df: DataFrame, metrics_fn=None) -> DataFrame:
+        """Write the stage, then append its ledger row.  ``metrics_fn``
+        (called AFTER the write, so observation metrics riding the write
+        action are available) supplies the row's metrics dict — one code
+        path for every stage, capped or not."""
         path = _stage_path(out_dir, stage)
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
@@ -213,7 +217,7 @@ def run_selection(
                 "rows": staged.count(),
                 "wall_ms": round((time.time() - t0) * 1000, 2),
                 "params": params[stage],
-                "metrics": json.dumps(extra_metrics or {}, sort_keys=True),
+                "metrics": json.dumps(metrics_fn() if metrics_fn else {}, sort_keys=True),
                 "finished": time.time(),
             },
         )
@@ -254,33 +258,16 @@ def run_selection(
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         )
         if max_bucket is not None:
-            # write first so the observation's metrics (which ride the
-            # write action) are available for the ledger row
-            path = _stage_path(out_dir, "pairs")
-            t0 = time.time()
-            pairs_df.write.mode("overwrite").parquet(path)
-            try:
-                m = {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
-            except Exception:  # noqa: BLE001 — AQE empty-relation propagation
-                # can elide the CollectMetrics node when the pair set is
-                # empty; record an empty metrics doc rather than failing
-                m = {}
-            pairs = spark.read.parquet(path)
-            _append_ledger_row(
-                spark,
-                _ledger_path(out_dir),
-                {
-                    "wave": STAGES.index("pairs"),
-                    "stage": "pairs",
-                    "status": "done",
-                    "rows": pairs.count(),
-                    "wall_ms": round((time.time() - t0) * 1000, 2),
-                    "params": params["pairs"],
-                    "metrics": json.dumps(m, sort_keys=True),
-                    "finished": time.time(),
-                },
-            )
-            run.append("pairs")
+
+            def _cap_metrics_from_obs() -> dict:
+                try:
+                    return {k: (int(v) if v is not None else 0) for k, v in obs.get.items()}
+                except Exception:  # noqa: BLE001 — AQE empty-relation
+                    # propagation can elide the CollectMetrics node when
+                    # the pair set is empty; record an empty metrics doc
+                    return {}
+
+            pairs = _commit("pairs", pairs_df, metrics_fn=_cap_metrics_from_obs)
         else:
             # uncapped: check the staged band table for quadratic-risk
             # buckets (narrow scan + partial agg — cheap, and only on the
@@ -298,7 +285,9 @@ def run_selection(
                     "a bucket; pass max_bucket (and run exact_dedup upstream) at scale",
                     stacklevel=2,
                 )
-            pairs = _commit("pairs", pairs_df, {"max_bucket_width": int(widest or 0)})
+            pairs = _commit(
+                "pairs", pairs_df, metrics_fn=lambda: {"max_bucket_width": int(widest or 0)}
+            )
 
     if "clusters" in done:
         clusters = _read("clusters")

@@ -35,9 +35,17 @@ def with_report_json(scored: DataFrame, device: str = "cpu", classifiers=None) -
     pipeline run with classifiers disabled never emits a report claiming
     they ran (the reference's per-run classifiers_run is likewise the
     requested subset, `pipeline.py:102-103,139-142`)."""
-    enabled = list(ALL_CLASSIFIERS) if classifiers is None else [
-        c for c in ALL_CLASSIFIERS if c in set(classifiers)
-    ]
+    if classifiers is None:
+        enabled = list(ALL_CLASSIFIERS)
+    else:
+        unknown = set(classifiers) - set(ALL_CLASSIFIERS)
+        if unknown:
+            # a typo'd name silently vanishing from the report would be the
+            # exact mislabeled-classifiers_run bug this parameter prevents
+            raise ValueError(
+                f"unknown classifier(s) {sorted(unknown)}; valid: {list(ALL_CLASSIFIERS)}"
+            )
+        enabled = [c for c in ALL_CLASSIFIERS if c in set(classifiers)]
     if not enabled:
         raise ValueError("with_report_json needs at least one enabled classifier")
 

@@ -231,21 +231,20 @@ def test_lsh_topk_probe_filter_pushes_to_scan(spark, tmp_path_factory):
     assert pushed, plan
 
 
-def test_lsh_topk_inline_filter_sits_below_join(spark):
-    """Even without a materialized bucket column, the literal probe filter
-    applies on the corpus side BEFORE the broadcast join (the old shape
-    filtered after it)."""
+def test_lsh_topk_has_no_join_at_all(spark):
+    """The query's bucket AND vector resolve driver-side (one first());
+    the vector is inlined as a literal array, so the probe plan is a
+    single filtered scan + TakeOrdered — no join, no broadcast, and the
+    literal bucket filter sits directly on the corpus."""
     from localmod_spark.operators.similarity import lsh_topk, with_lsh_bucket
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bucketed = with_lsh_bucket(emb, dim=64, n_planes=8)
     plan = plan_of(lsh_topk(bucketed, query_vec_id=0, k=10, hamming=1, n_planes=8))
-    lines = plan.splitlines()
-    join_ix = min(i for i, l in enumerate(lines) if "Join" in l)
-    filt_ix = [i for i, l in enumerate(lines) if " IN (" in l or "lsh_bucket#" in l and "INSET" in l.upper()]
-    # tree printing puts children BELOW their parent: the probe filter
-    # must appear after (deeper than) the join node, not above it
-    assert filt_ix and min(filt_ix) > join_ix, plan
+    assert "Join" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert " IN (" in plan or "INSET" in plan.upper(), plan  # the literal probe filter
+    assert "TakeOrdered" in plan, plan
 
 
 def test_ivf_join_topk_is_list_equi_join(spark):

@@ -70,7 +70,7 @@ def test_lsh_multiprobe_expands_candidates(emb, spark):
 
     bucketed = with_lsh_bucket(emb, dim=DIM, n_planes=6).persist()
     exact = lsh_topk(bucketed, 0, k=50, hamming=0).collect()
-    multi = lsh_topk(bucketed, 0, k=50, hamming=1).collect()
+    multi = lsh_topk(bucketed, 0, k=50, hamming=1, n_planes=6).collect()
     assert {r.vec_id for r in exact} <= {r.vec_id for r in multi}
     assert len(multi) >= len(exact)
     # the probed set is still pruned: strictly fewer rows than the corpus
