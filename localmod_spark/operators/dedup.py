@@ -582,6 +582,17 @@ def dup_clusters(
         .withColumn("lbl", F.col("v"))
         .localCheckpoint()
     )
+
+    def _label_sum(lbls: DataFrame):
+        # exact decimal sum — int64 summation could overflow at extreme
+        # vertex-count × id-magnitude combinations
+        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    # Convergence check: each round takes least(own, neighborhood min), so
+    # every vertex's label is NON-INCREASING — the label sum is strictly
+    # decreasing until the fixpoint, and sum equality ⇔ no vertex changed.
+    # One cheap aggregate per round instead of a self-join + count.
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -598,16 +609,12 @@ def dup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), F.col("a.v") == F.col("b.v"))
-            .where(F.col("a.lbl") != F.col("b.lbl"))
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     sym.unpersist()
     if not converged:
         # exhausting the rounds means some component's diameter exceeds
