@@ -1107,6 +1107,33 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budget-bounded-window variant of token_budget: histogram prune
+    (one partial agg; bins above the crossing bin fit, bins below can
+    hold no selected doc) then the exact window over the prefix-closed
+    pruned set — identical rows incl. cum_tokens, window input bounded
+    by the budget instead of the corpus.  Shares token_budget's oracle."""
+    from localmod_spark.operators.sampling import select_token_budget_scalable
+    from localmod_spark.operators.textstats import stopword_ratio_col, token_count_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        stopword_ratio_col("text").alias("q"),
+    )
+    out = select_token_budget_scalable(
+        docs, budget=3000, score_col="q", group_cols=("lang",), id_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al. ACL'22): every word 5-gram
     span occurring in ≥ 2 distinct documents — the repeated-boilerplate
@@ -1181,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_by_lang": _shipped(_q_eval_by_lang),
         "threshold_sweep": _shipped(_q_threshold_sweep),
         "token_budget": _shipped(_q_token_budget),
+        "token_budget_scalable": _shipped(_q_token_budget_scalable),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -2236,6 +2264,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_by_lang": _eval_by_lang_sql(),
         "threshold_sweep": _threshold_sweep_sql(),
         "token_budget": _token_budget_sql(),
+        # the scalable variant returns IDENTICAL rows (prefix-closed prune
+        # + same window) — same oracle, independent value check
+        "token_budget_scalable": _token_budget_sql(),
         # generated oracles (seeded constants embedded as literals)
         "ann_join_topk": _ann_join_topk_sql(),
         "ivf_join_topk": _ivf_join_topk_sql(),

@@ -103,3 +103,81 @@ def select_token_budget(
     )
     cum = F.sum(F.col(token_col).cast("long")).over(w)
     return df.withColumn("cum_tokens", cum).where(F.col("cum_tokens") <= budget)
+
+
+def select_token_budget_scalable(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str = "n_tokens",
+    group_cols=("lang",),
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    score_range=(0.0, 1.0),
+) -> DataFrame:
+    """:func:`select_token_budget` with the window's input bounded by the
+    BUDGET instead of the corpus — the 10^12-row shape.
+
+    The exact operator sorts each whole group in one window partition; at
+    scale a group is the entire language.  Two phases fix that without
+    changing a single output row:
+
+      1. **Histogram prune** (one partial-aggregated pass): bucket the
+         quality score into ``n_buckets`` fixed bins, sum tokens per
+         (group, bin) — only ``groups × n_buckets`` rows reach the
+         driver — and walk each group's bins best-first until the budget
+         would overflow.  Bins strictly above the crossing bin fit
+         entirely; bins below can contain no selected doc.
+      2. **Exact window on the pruned set**: keep rows with
+         ``bin >= crossing bin`` (a broadcast join against the tiny
+         boundary table) and run the EXACT operator on them.  The pruned
+         set is prefix-closed under (score desc, id asc) — every row
+         preceding a kept row is itself pruned-in — so the prefix sums,
+         the kept set, and ``cum_tokens`` are IDENTICAL to the
+         single-window operator (equality-tested, ties included), while
+         the window now sorts ~budget/avg_tokens rows plus one bin's
+         worth instead of the whole group."""
+    lo, hi = score_range
+    width = (float(hi) - float(lo)) / n_buckets
+    bucket = F.greatest(
+        F.least(
+            F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
+    ).cast("int")
+    bucketed = df.withColumn("_qb", bucket)
+    hist = (
+        bucketed.groupBy(*group_cols, "_qb")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        key = tuple(r[g] for g in group_cols)
+        per_group.setdefault(key, {})[r["_qb"]] = r["_t"]
+    rows = []
+    for key, bins in per_group.items():
+        cum = 0
+        crossing = -1  # -1 = every bin fits: keep the whole group
+        for b in sorted(bins, reverse=True):
+            if cum + bins[b] > budget:
+                crossing = b
+                break
+            cum += bins[b]
+        rows.append(tuple(key) + (crossing,))
+    spark = df.sparkSession
+    fields = ", ".join(f"{g} {df.schema[g].dataType.simpleString()}" for g in group_cols)
+    boundary = spark.createDataFrame(rows, f"{fields}, _crossing int")
+    pruned = (
+        bucketed.join(F.broadcast(boundary), list(group_cols))
+        .where((F.col("_crossing") == -1) | (F.col("_qb") >= F.col("_crossing")))
+        .drop("_qb", "_crossing")
+    )
+    return select_token_budget(
+        pruned,
+        budget,
+        order_by=(F.desc(score_col), F.asc(id_col)),
+        token_col=token_col,
+        group_cols=group_cols,
+    )

@@ -80,3 +80,54 @@ def test_token_budget_partitioning_invariant(spark):
     a = {r.doc_id for r in select_token_budget(df.repartition(1), 500, order).collect()}
     b = {r.doc_id for r in select_token_budget(df.repartition(13), 500, order).collect()}
     assert a == b and a
+
+
+def test_token_budget_scalable_equals_exact(spark):
+    """The histogram-pruned variant returns IDENTICAL rows (incl.
+    cum_tokens) to the single-window operator — ties and boundary bins
+    included."""
+    from localmod_spark.operators.sampling import select_token_budget_scalable
+
+    rows = []
+    for i in range(500):
+        # coarse score grid → many exact ties, several per histogram bin
+        rows.append((i, "en" if i % 3 else "de", 10 + (i % 13), ((i * 7) % 20) / 20.0))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+    exact = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(
+            df, 700, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
+        ).collect()
+    }
+    scalable = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget_scalable(
+            df, 700, score_col="q", group_cols=("lang",), id_col="doc_id"
+        ).collect()
+    }
+    assert scalable == exact and exact
+
+
+def test_token_budget_scalable_prunes_window_input(spark, monkeypatch):
+    """The whole point: the exact window runs over a budget-bounded
+    pruned set, not the corpus."""
+    import localmod_spark.operators.sampling as samp
+
+    rows = [(i, "en", 100, (i % 100) / 100.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+
+    seen = {}
+    real = samp.select_token_budget
+
+    def spy(pruned, *a, **kw):
+        seen["n"] = pruned.count()
+        return real(pruned, *a, **kw)
+
+    monkeypatch.setattr(samp, "select_token_budget", spy)
+    out = samp.select_token_budget_scalable(
+        df, budget=1000, score_col="q", n_buckets=64
+    )
+    kept = out.count()
+    assert kept == 10  # 1000 tokens / 100 each
+    # pruned set = kept prefix + at most the crossing bin's residents
+    assert seen["n"] < 2000 * 0.1, seen
