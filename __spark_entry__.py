@@ -1107,6 +1107,34 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 10th doc plays the NEW batch, the
+    rest the already-selected corpus — survivors are new docs with no
+    verified word-3-gram near-dup (j ≥ 0.9) in the corpus.  Only the new
+    batch is sketched; corpus candidates come from a band equi-join
+    against the corpus band table (the staged artifact an incremental
+    pipeline reuses, plans/selection.run_increment).  Oracle = all-pairs
+    cross-set Jaccard in DuckDB (banding recall ≈ 1 at j=0.9, same
+    argument as minhash_dedup)."""
+    from localmod_spark.operators.dedup import (
+        cross_dedup_survivors,
+        explode_minhash_bands,
+        with_minhash,
+    )
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    corpus_bands = explode_minhash_bands(
+        with_minhash(corpus, num_hashes=64, shingle_k=3, shingle_mode="word"),
+        bands=16,
+        rows_per_band=4,
+    )
+    out = cross_dedup_survivors(new, corpus, corpus_bands, threshold=0.9)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 def _q_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The budget-bounded-window variant of token_budget: histogram prune
     (one partial agg; bins above the crossing bin fit, bins below can
@@ -1209,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": _shipped(_q_threshold_sweep),
         "token_budget": _shipped(_q_token_budget),
         "token_budget_scalable": _shipped(_q_token_budget_scalable),
+        "incremental_dedup": _shipped(_q_incremental_dedup),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash": _shipped(_q_simhash),
@@ -1456,6 +1485,36 @@ def _knn_join_sql(k: int = 5) -> str:
                                       ORDER BY cosine DESC, vec_id ASC) AS rk
             FROM scored
         ) WHERE rk <= {k}
+    """
+
+
+def _incremental_dedup_sql(n: int = 3, threshold: float = 0.9) -> str:
+    """Ground truth for the banded incremental dedup: all-pairs CROSS-SET
+    word-n-gram Jaccard between the new slice and the corpus slice."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+                                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        ELSE [array_to_string(t, ' ')] END AS g
+            FROM toks
+        ),
+        dup_new AS (
+            SELECT DISTINCT a.doc_id AS id_new
+            FROM grams a JOIN grams b
+              ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            WHERE round(len(list_intersect(a.g, b.g)) /
+                        CAST(greatest(len(list_distinct(list_concat(a.g, b.g))), 1) AS DOUBLE),
+                        4) >= {threshold}
+        )
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id % 10 = 0 AND d.doc_id NOT IN (SELECT id_new FROM dup_new)
     """
 
 
@@ -2261,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join": _knn_join_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "eval_by_lang": _eval_by_lang_sql(),
         "threshold_sweep": _threshold_sweep_sql(),
         "token_budget": _token_budget_sql(),

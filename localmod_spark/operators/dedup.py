@@ -456,6 +456,87 @@ def repeated_spans(
     return spans.join(freq, "gram").select(id_col, "pos", "gram", "n_docs")
 
 
+def cross_dedup_pairs(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN a new ingest batch and an
+    already-sketched corpus: (id_new, id_old).
+
+    The incremental-dedup shape: the corpus side is the STAGED exploded
+    band table (``explode_minhash_bands`` output, e.g.
+    ``plans/selection.py``'s ``bands/`` stage read back from parquet) —
+    it is **never re-sketched**; only the new batch pays the sketch UDF.
+    Candidates come from a (band_ix, band_hash) equi-join of the new
+    batch's bands against the staged table — at 10^12 corpus rows the
+    staged side is a narrow parquet scan shuffled on the band key (or
+    pre-bucketed by it, making the join exchange-free on that side).
+    The banding parameters MUST match the ones the corpus was sketched
+    with (same num_hashes/shingle space/bands/rows/seed), or the band
+    hashes aren't comparable — plans/selection records them in its
+    ledger precisely so increments can reuse them."""
+    sigs = with_minhash(
+        new_docs,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        seed=seed,
+        shingle_mode="word",
+    )
+    new_bands = explode_minhash_bands(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    a = new_bands.select(F.col(id_col).alias("id_a"), "band_ix", "band_hash")
+    b = corpus_bands.select(F.col(id_col).alias("id_b"), "band_ix", "band_hash")
+    return (
+        a.join(b, ["band_ix", "band_hash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cross_dedup_survivors(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """New-batch rows with NO verified near-duplicate in the corpus —
+    the keep set of an incremental ingest (daily batch vs the selected
+    corpus).  Candidates via :func:`cross_dedup_pairs` (corpus sketch
+    reused, not recomputed), verification via exact word-n-gram Jaccard
+    on candidates only (``ngram_jaccard`` with the corpus as the
+    ``id_b`` side), survivors via LEFT ANTI join.  Within-batch
+    duplicates are a separate concern — run :func:`exact_dedup` /
+    :func:`minhash_candidates` on the batch itself first."""
+    cands = cross_dedup_pairs(
+        new_docs, corpus_bands,
+        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band, seed=seed,
+    )
+    verified = ngram_jaccard(
+        new_docs, cands, id_col=id_col, text_col=text_col, n=shingle_k, df_b=corpus_docs
+    )
+    dup_new_ids = (
+        verified.where(F.round("jaccard", 4) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_new_ids, id_col, "left_anti")
+
+
 def star_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star (Kiveris et al., "Connected Components in
@@ -787,14 +868,18 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    df_b: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification stage
     after LSH).  Joins texts to the pair list then computes set overlap in
-    a vectorized UDF — candidates only, never all-pairs."""
+    a vectorized UDF — candidates only, never all-pairs.  ``df_b`` (when
+    the pair's two sides come from different tables — cross-set dedup)
+    supplies the ``id_b`` texts; default both sides from ``df``."""
     texts = df.select(F.col(id_col), F.col(text_col))
+    texts_b = texts if df_b is None else df_b.select(F.col(id_col), F.col(text_col))
     joined = (
         pairs.join(texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
-        .join(texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+        .join(texts_b.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
     )
 
     @F.pandas_udf("double")

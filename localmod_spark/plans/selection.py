@@ -125,6 +125,8 @@ def completed_stages(
             rows = ledger.select("stage", "params", "finished").collect()
             latest: Dict[str, tuple] = {}
             for r in rows:
+                if r["stage"] not in STAGES:
+                    continue  # e.g. 'increment' rows — not resume stages
                 if r["stage"] not in latest or r["finished"] > latest[r["stage"]][1]:
                     latest[r["stage"]] = (r["params"], r["finished"])
             done = {s for s, (p, _) in latest.items() if stage_params.get(s) == p}
@@ -313,3 +315,117 @@ def run_selection(
         stages_skipped=[s for s in STAGES if s in done],
         selected=selected,
     )
+
+
+def _latest_stage_params(spark: SparkSession, out_dir: str, stage: str) -> Optional[dict]:
+    """The params JSON of the LATEST done ledger row for *stage*."""
+    path = _ledger_path(out_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    ledger = spark.read.parquet(path).where(
+        (F.col("status") == "done") & (F.col("stage") == stage)
+    )
+    if "params" not in ledger.columns:
+        return None
+    rows = ledger.select("params", "finished").collect()
+    if not rows:
+        return None
+    latest = max(rows, key=lambda r: r["finished"])
+    return json.loads(latest["params"])
+
+
+def run_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """Incremental ingest against a STAGED selection: dedup *new_docs*
+    against the already-sketched corpus WITHOUT re-sketching it — the
+    daily-batch shape at 10^12 corpus rows, where re-running
+    :func:`run_selection` per ingest would pay the full corpus sketch
+    every day.
+
+    * Banding/validity parameters come from the ledger (the ones the
+      corpus was actually sketched with — band hashes are only
+      comparable under identical parameters); ``threshold`` defaults to
+      the staged pairs threshold.
+    * Corpus side = staged ``bands/`` (+ previous increments'
+      ``bands_inc/``) — a narrow parquet scan equi-joined on the band
+      key; only the new batch pays the sketch UDF.
+    * Survivors (validity-gated new docs with no verified near-dup in
+      corpus ∪ prior increments) are APPENDED to ``valid_inc/`` +
+      ``bands_inc/`` side dirs — the base stages stay immutable, so
+      ``run_selection`` resume semantics are untouched — and a ledger
+      row (stage='increment') records counts + params.
+
+    Returns the survivors (doc_id, lang, text)."""
+    from localmod_spark.operators.dedup import (
+        cross_dedup_survivors,
+        explode_minhash_bands,
+        with_minhash,
+    )
+    from localmod_spark.operators.validate import with_validity
+
+    band_params = _latest_stage_params(spark, out_dir, "bands")
+    pairs_params = _latest_stage_params(spark, out_dir, "pairs")
+    if band_params is None or pairs_params is None:
+        raise ValueError(
+            f"{out_dir} has no staged bands/pairs ledger rows — run run_selection first; "
+            "increments must reuse the exact banding parameters the corpus was sketched with"
+        )
+    if threshold is None:
+        threshold = pairs_params["threshold"]
+
+    corpus_docs = spark.read.parquet(_stage_path(out_dir, "valid"))
+    corpus_bands = spark.read.parquet(_stage_path(out_dir, "bands"))
+    inc_valid_path = _stage_path(out_dir, "valid_inc")
+    inc_bands_path = _stage_path(out_dir, "bands_inc")
+    fs, h_inc = _hadoop_fs(spark, inc_valid_path)
+    if fs.exists(h_inc):
+        corpus_docs = corpus_docs.unionByName(spark.read.parquet(inc_valid_path))
+        corpus_bands = corpus_bands.unionByName(spark.read.parquet(inc_bands_path))
+
+    new_valid = (
+        with_validity(new_docs, max_len=band_params["max_len"])
+        .where(F.col("valid"))
+        .select("doc_id", "lang", "text")
+    )
+    kw = dict(
+        num_hashes=band_params["num_hashes"],
+        shingle_k=band_params["shingle_k"],
+        bands=band_params["bands"],
+        rows_per_band=band_params["rows_per_band"],
+    )
+    t0 = time.time()
+    survivors = cross_dedup_survivors(
+        new_valid, corpus_docs, corpus_bands, threshold=threshold, **kw
+    ).localCheckpoint()  # survivors feed two writes + the caller — compute once
+    survivors.write.mode("append").parquet(inc_valid_path)
+    surv_bands = explode_minhash_bands(
+        with_minhash(
+            survivors,
+            num_hashes=kw["num_hashes"],
+            shingle_k=kw["shingle_k"],
+            shingle_mode="word",
+        ),
+        bands=kw["bands"],
+        rows_per_band=kw["rows_per_band"],
+    )
+    surv_bands.write.mode("append").parquet(inc_bands_path)
+    _append_ledger_row(
+        spark,
+        _ledger_path(out_dir),
+        {
+            "wave": len(STAGES),
+            "stage": "increment",
+            "status": "done",
+            "rows": survivors.count(),
+            "wall_ms": round((time.time() - t0) * 1000, 2),
+            "params": json.dumps(dict(kw, threshold=threshold), sort_keys=True),
+            "metrics": json.dumps({}, sort_keys=True),
+            "finished": time.time(),
+        },
+    )
+    return survivors

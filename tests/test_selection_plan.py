@@ -133,3 +133,84 @@ def test_selection_uncapped_wide_bucket_warns(spark, tmp_path, monkeypatch):
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     with _pytest.warns(UserWarning, match="uncapped banding join"):
         run_selection(spark, df, str(tmp_path / "sel"), max_bucket=None)
+
+
+def test_cross_dedup_survivors_planted(spark):
+    """Operator level: new docs with a verified corpus near-dup drop;
+    unique new docs survive; the corpus side reuses a pre-built band
+    table (never re-sketched)."""
+    from localmod_spark.operators.dedup import (
+        cross_dedup_survivors,
+        explode_minhash_bands,
+        with_minhash,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+         (1, "en", "a completely different document about quarterly finance and audits")],
+        "doc_id long, lang string, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+         (11, "en", "an entirely novel report covering mountain glacier retreat photography")],
+        "doc_id long, lang string, text string",
+    )
+    corpus_bands = explode_minhash_bands(
+        with_minhash(corpus, num_hashes=64, shingle_k=3, shingle_mode="word"),
+        bands=16, rows_per_band=4,
+    )
+    kept = sorted(r.doc_id for r in cross_dedup_survivors(new, corpus, corpus_bands).collect())
+    assert kept == [11]
+
+
+def test_run_increment_reuses_staged_sketch_and_accumulates(spark, tmp_path):
+    """Plan level: increments dedup against the staged corpus + all prior
+    increments, append only to side dirs (base stages immutable — resume
+    still skips everything), and record ledger rows."""
+    import json
+
+    from localmod_spark.plans.selection import run_increment
+
+    base = spark.createDataFrame(
+        [(0, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+         (1, "en", "a completely different document about quarterly finance and audits")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "sel")
+    run_selection(spark, base, out)
+
+    inc1 = spark.createDataFrame(
+        [(10, "en", "the alpine meadow study spans decades of careful fieldwork records"),
+         (11, "en", "an entirely novel report covering mountain glacier retreat photography")],
+        "doc_id long, lang string, text string",
+    )
+    s1 = sorted(r.doc_id for r in run_increment(spark, inc1, out).collect())
+    assert s1 == [11]  # dup of corpus doc 0 dropped
+
+    # increment 2: dup of increment-1's survivor must ALSO drop
+    inc2 = spark.createDataFrame(
+        [(20, "en", "an entirely novel report covering mountain glacier retreat photography"),
+         (21, "en", "fresh content about deep sea hydrothermal vent ecosystems and sampling")],
+        "doc_id long, lang string, text string",
+    )
+    s2 = sorted(r.doc_id for r in run_increment(spark, inc2, out).collect())
+    assert s2 == [21]
+
+    # side dirs accumulated; base stages untouched → full resume skip
+    inc_rows = sorted(r.doc_id for r in spark.read.parquet(f"{out}/valid_inc").collect())
+    assert inc_rows == [11, 21]
+    again = run_selection(spark, base, out)
+    assert again.stages_run == []
+    ledger = spark.read.parquet(f"{out}/_lineage")
+    incs = ledger.where("stage = 'increment'").collect()
+    assert len(incs) == 2 and all(r.status == "done" for r in incs)
+    assert all(json.loads(r.params)["threshold"] == 0.9 for r in incs)
+
+
+def test_run_increment_requires_staged_selection(spark, tmp_path):
+    from localmod_spark.plans.selection import run_increment
+
+    new = spark.createDataFrame([(1, "en", "text here ok")],
+                                "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="run_selection first"):
+        run_increment(spark, new, str(tmp_path / "nothing"))
