@@ -156,7 +156,7 @@ def main() -> None:
                  "dup_clusters", "corpus_select", "lsh_topk",
                  "asof_click", "greedy_pack",
                  "ann_join_topk", "knn_join", "repeated_spans",
-                 "ivf_join_topk", "token_budget"):
+                 "ivf_join_topk", "token_budget", "incremental_dedup"):
         cold = name in ("dup_clusters", "corpus_select")  # persist internally
         bench(name, lambda name=name: _force(q[name](spark, SF_DIR)), cold=cold)
 

@@ -396,6 +396,7 @@ def repeated_spans(
     text_col: str = "text",
     max_df: Optional[int] = None,
     observation: Optional[Observation] = None,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """Substring-level exact dedup: flag every word-``n``-gram SPAN that
     occurs in at least ``min_docs`` distinct documents (Lee et al.,
@@ -417,10 +418,15 @@ def repeated_spans(
     doc-frequency above the cap are EXCLUDED from the output — a recall
     trade, so it is observable, never silent: pass ``observation`` and
     after the action ``observation.get`` carries ``dropped_grams`` (count
-    over the cap) and ``max_gram_df``.  At 10^12 docs also substitute
-    ``xxhash64(gram)`` for the gram string before the shuffle (same
-    plan, 8-byte keys); the string variant here keeps the operator
-    engine-reproducible for the SQL value oracle."""
+    over the cap) and ``max_gram_df``.
+
+    ``join_on_hash=True`` is the 10^12-doc knob: the frequency aggregate
+    and the join back key on ``xxhash64(gram)`` (8 bytes) instead of the
+    gram string (~6 words) — same output columns (the gram string rides
+    the span side), ~4-8× narrower shuffle keys.  A 64-bit collision
+    would merge two grams' doc-frequencies (expected count ~n²/2^65 —
+    negligible, and only ever OVER-counts n_docs); the string variant
+    stays the default because it is exactly SQL-oracle-reproducible."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
     spans_arr = F.when(
         F.size(toks) >= n,
@@ -442,7 +448,11 @@ def repeated_spans(
     spans = src.select(F.col(id_col), F.explode(spans_arr).alias("s")).select(
         id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
     )
-    freq = spans.groupBy("gram").agg(F.countDistinct(id_col).alias("n_docs"))
+    key = "gram"
+    if join_on_hash:
+        spans = spans.withColumn("_gh", F.xxhash64("gram"))
+        key = "_gh"
+    freq = spans.groupBy(key).agg(F.countDistinct(id_col).alias("n_docs"))
     if observation is not None:
         cap = max_df if max_df is not None else (1 << 62)
         freq = freq.observe(
@@ -453,7 +463,7 @@ def repeated_spans(
     freq = freq.where(F.col("n_docs") >= min_docs)
     if max_df is not None:
         freq = freq.where(F.col("n_docs") <= max_df)
-    return spans.join(freq, "gram").select(id_col, "pos", "gram", "n_docs")
+    return spans.join(freq, key).select(id_col, "pos", "gram", "n_docs")
 
 
 def cross_dedup_pairs(

@@ -461,3 +461,13 @@ def test_repeated_spans_max_df_cap_is_observable(spark):
     assert "pairwise shared sentence fragment here" in grams  # df=2 kept
     m = obs.get
     assert m["dropped_grams"] >= 1 and m["max_gram_df"] == 10
+
+
+def test_repeated_spans_hash_join_equals_string_join(spark):
+    """join_on_hash keys the shuffle on xxhash64(gram) — same rows out."""
+    from localmod_spark.operators.dedup import repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    by_str = {tuple(r) for r in repeated_spans(docs, n=5).collect()}
+    by_hash = {tuple(r) for r in repeated_spans(docs, n=5, join_on_hash=True).collect()}
+    assert by_str == by_hash and by_str
