@@ -131,3 +131,44 @@ def test_token_budget_scalable_prunes_window_input(spark, monkeypatch):
     assert kept == 10  # 1000 tokens / 100 each
     # pruned set = kept prefix + at most the crossing bin's residents
     assert seen["n"] < 2000 * 0.1, seen
+
+
+def test_token_budget_randomized_differential(spark):
+    """Seeded random groups with heavy ties vs a pure-Python walk of the
+    same rule — both the exact and the histogram-pruned operator."""
+    import random
+
+    from localmod_spark.operators.sampling import select_token_budget_scalable
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(600):
+        rows.append((i, f"g{rng.randrange(6)}", rng.randrange(1, 50), rng.randrange(10) / 10.0))
+    budget = 300
+
+    want = set()
+    by_group = {}
+    for doc_id, g, n_tok, q in rows:
+        by_group.setdefault(g, []).append((doc_id, n_tok, q))
+    for g, docs_g in by_group.items():
+        cum = 0
+        for doc_id, n_tok, q in sorted(docs_g, key=lambda r: (-r[2], r[0])):
+            cum += n_tok
+            if cum > budget:
+                break
+            want.add((doc_id, cum))
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+    exact = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(
+            df, budget, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
+        ).collect()
+    }
+    scal = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget_scalable(
+            df, budget, score_col="q", group_cols=("lang",), n_buckets=32
+        ).collect()
+    }
+    assert exact == want and scal == want and want
