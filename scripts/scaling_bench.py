@@ -234,8 +234,17 @@ Measured {stamp}.  Reproduce: `python scripts/scaling_bench.py {n_turns}`
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-maintained sections (replication tables, scale-
+    # stability checks) that live after the marker — a rerun refreshes
+    # only the auto-generated measurement above it
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved across scaling_bench reruns -->"
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            manual = old.split(marker, 1)[1]
     with open(path, "w") as f:
-        f.write(md)
+        f.write(md + "\n" + marker + manual)
     print(json.dumps({"pair_1_4": eff_1, "pair_2_8": eff_2, "pair_8_32": eff_8,
                       "hw_ceiling_8_32": hw_eff}))
     print(f"wrote {path}")
