@@ -1491,6 +1491,7 @@ def _knn_join_sql(k: int = 5) -> str:
 def _incremental_dedup_sql(n: int = 3, threshold: float = 0.9) -> str:
     """Ground truth for the banded incremental dedup: all-pairs CROSS-SET
     word-n-gram Jaccard between the new slice and the corpus slice."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
     return f"""
         WITH toks AS (
             SELECT doc_id,
@@ -1501,7 +1502,7 @@ def _incremental_dedup_sql(n: int = 3, threshold: float = 0.9) -> str:
             SELECT doc_id,
                    CASE WHEN len(t) >= {n}
                         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
-                                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                                                          i -> {gram}))
                         ELSE [array_to_string(t, ' ')] END AS g
             FROM toks
         ),

@@ -476,6 +476,9 @@ def cross_dedup_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 7,
+    new_bands: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = None,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs BETWEEN a new ingest batch and an
     already-sketched corpus: (id_new, id_old).
@@ -491,16 +494,46 @@ def cross_dedup_pairs(
     The banding parameters MUST match the ones the corpus was sketched
     with (same num_hashes/shingle space/bands/rows/seed), or the band
     hashes aren't comparable — plans/selection records them in its
-    ledger precisely so increments can reuse them."""
-    sigs = with_minhash(
-        new_docs,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        shingle_k=shingle_k,
-        seed=seed,
-        shingle_mode="word",
-    )
-    new_bands = explode_minhash_bands(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
+    ledger precisely so increments can reuse them.
+
+    ``new_bands`` (optional) supplies a precomputed band table for the
+    batch (skipping the sketch here) so a caller that also needs the
+    bands afterwards — e.g. to append the survivors' bands to the staged
+    corpus — pays the sketch UDF ONCE.  ``max_bucket`` is the same
+    opt-in giant-bucket guard as :func:`candidates_from_bands`, applied
+    to the CORPUS side (the quadratic blowup is |new|×|corpus| within a
+    bucket, and the corpus side is the unbounded one): buckets whose
+    corpus width exceeds the cap are pruned before the join, observably
+    (``observation`` → dropped_buckets / dropped_corpus_rows /
+    max_bucket_width)."""
+    if new_bands is None:
+        sigs = with_minhash(
+            new_docs,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_k=shingle_k,
+            seed=seed,
+            shingle_mode="word",
+        )
+        new_bands = explode_minhash_bands(
+            sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+        )
+    if max_bucket is not None:
+        widths = corpus_bands.groupBy("band_ix", "band_hash").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        if observation is not None:
+            over = F.col("_w") > max_bucket
+            widths = widths.observe(
+                observation,
+                F.sum(over.cast("long")).alias("dropped_buckets"),
+                F.sum(F.when(over, F.col("_w")).otherwise(F.lit(0))).alias(
+                    "dropped_corpus_rows"
+                ),
+                F.max("_w").alias("max_bucket_width"),
+            )
+        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_hash")
+        corpus_bands = corpus_bands.join(narrow, ["band_ix", "band_hash"], "left_semi")
     a = new_bands.select(F.col(id_col).alias("id_a"), "band_ix", "band_hash")
     b = corpus_bands.select(F.col(id_col).alias("id_b"), "band_ix", "band_hash")
     return (
@@ -522,19 +555,25 @@ def cross_dedup_survivors(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 7,
+    new_bands: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = None,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """New-batch rows with NO verified near-duplicate in the corpus —
     the keep set of an incremental ingest (daily batch vs the selected
     corpus).  Candidates via :func:`cross_dedup_pairs` (corpus sketch
-    reused, not recomputed), verification via exact word-n-gram Jaccard
-    on candidates only (``ngram_jaccard`` with the corpus as the
-    ``id_b`` side), survivors via LEFT ANTI join.  Within-batch
-    duplicates are a separate concern — run :func:`exact_dedup` /
-    :func:`minhash_candidates` on the batch itself first."""
+    reused, not recomputed; ``new_bands``/``max_bucket``/``observation``
+    pass through), verification via exact word-n-gram Jaccard on
+    candidates only (``ngram_jaccard`` with the corpus as the ``id_b``
+    side), survivors via LEFT ANTI join.  Within-batch duplicates are a
+    separate concern — ``plans/selection.run_increment`` dedups the
+    batch first; direct callers should run :func:`exact_dedup` /
+    :func:`minhash_candidates` on the batch themselves."""
     cands = cross_dedup_pairs(
         new_docs, corpus_bands,
         id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band, seed=seed,
+        new_bands=new_bands, max_bucket=max_bucket, observation=observation,
     )
     verified = ngram_jaccard(
         new_docs, cands, id_col=id_col, text_col=text_col, n=shingle_k, df_b=corpus_docs

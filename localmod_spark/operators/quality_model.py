@@ -52,7 +52,11 @@ def train_quality_classifier(
     The seed set is small by construction (curation is the expensive
     part); training cost is per-seed-row, scoring cost is per-corpus-row
     and fully JVM-side."""
-    from pyspark.ml import Pipeline
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
 
     feats = _feature_pipeline(text_col, dim)
@@ -62,18 +66,56 @@ def train_quality_classifier(
         maxIter=max_iter,
         regParam=reg_param,
     )
-    return Pipeline(stages=[feats, lr]).fit(
+    fitted = Pipeline(stages=[feats, lr]).fit(
         labeled.select(text_col, F.col(label_col).cast("double").alias(label_col))
     )
+    # Save/load roundtrip before returning: the freshly-fitted LR model
+    # carries a trainingSummary that references the SparkSession, and the
+    # scoring UDF's closure serialization can drag that reference into
+    # tasks (observed: NotSerializableException on ObservationManager in
+    # sessions that ran multithreaded observed jobs).  Persisted models
+    # drop the summary — and production scores from a saved artifact
+    # anyway, so the roundtrip also keeps that path exercised.
+    path = os.path.join(tempfile.gettempdir(), f"quality_model_{uuid.uuid4().hex}")
+    try:
+        fitted.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
-def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
+def score_quality(model, docs: DataFrame, text_col: str = None) -> DataFrame:
     """Append ``model_quality`` = P(good | text) ∈ [0,1] (rounded to 6),
-    dropping the intermediate feature columns."""
+    dropping the intermediate feature columns.  ``text_col`` scores a
+    column other than the one the model was trained on (renamed for the
+    transform, restored in the output)."""
     from pyspark.ml.functions import vector_to_array
 
+    # first leaf stage with an inputCol = the tokenizer (the pipeline may
+    # nest the feature stages inside an inner PipelineModel)
+    def _first_input_col(m):
+        for st in getattr(m, "stages", []):
+            if hasattr(st, "getInputCol"):
+                return st.getInputCol()
+            found = _first_input_col(st)
+            if found is not None:
+                return found
+        return None
+
+    trained_col = _first_input_col(model)
+    renamed = text_col is not None and text_col != trained_col
+    if renamed:
+        if trained_col in docs.columns:
+            raise ValueError(
+                f"cannot score {text_col!r}: docs already has a {trained_col!r} column "
+                f"(the model's trained input) — drop or rename it first"
+            )
+        docs = docs.withColumnRenamed(text_col, trained_col)
     scored = model.transform(docs)
-    return scored.withColumn(
+    out = scored.withColumn(
         "model_quality",
         F.round(vector_to_array(F.col("probability")).getItem(1), 6),
     ).drop("_toks", "features", "rawPrediction", "probability", "prediction")
+    return out.withColumnRenamed(trained_col, text_col) if renamed else out

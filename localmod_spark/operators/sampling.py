@@ -138,13 +138,20 @@ def select_token_budget_scalable(
          the window now sorts ~budget/avg_tokens rows plus one bin's
          worth instead of the whole group."""
     lo, hi = score_range
+    if not float(hi) > float(lo):
+        raise ValueError(f"score_range must satisfy lo < hi, got {score_range}")
     width = (float(hi) - float(lo)) / n_buckets
-    bucket = F.greatest(
-        F.least(
-            F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(width)),
-            F.lit(n_buckets - 1),
-        ),
-        F.lit(0),
+    # NULL scores sort LAST under the exact operator's desc order (Spark
+    # desc = nulls last), i.e. worst quality — give them their own bin
+    # below every real one so the prune treats them identically
+    bucket = F.when(F.col(score_col).isNull(), F.lit(-1)).otherwise(
+        F.greatest(
+            F.least(
+                F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        )
     ).cast("int")
     bucketed = df.withColumn("_qb", bucket)
     hist = (
@@ -152,6 +159,7 @@ def select_token_budget_scalable(
         .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
         .collect()
     )
+    _KEEP_ALL = -2  # sentinel below the null bin: every bin fits
     per_group: dict = {}
     for r in hist:
         key = tuple(r[g] for g in group_cols)
@@ -159,8 +167,8 @@ def select_token_budget_scalable(
     rows = []
     for key, bins in per_group.items():
         cum = 0
-        crossing = -1  # -1 = every bin fits: keep the whole group
-        for b in sorted(bins, reverse=True):
+        crossing = _KEEP_ALL
+        for b in sorted(bins, reverse=True):  # null bin (-1) walks last
             if cum + bins[b] > budget:
                 crossing = b
                 break
@@ -171,7 +179,7 @@ def select_token_budget_scalable(
     boundary = spark.createDataFrame(rows, f"{fields}, _crossing int")
     pruned = (
         bucketed.join(F.broadcast(boundary), list(group_cols))
-        .where((F.col("_crossing") == -1) | (F.col("_qb") >= F.col("_crossing")))
+        .where((F.col("_crossing") == _KEEP_ALL) | (F.col("_qb") >= F.col("_crossing")))
         .drop("_qb", "_crossing")
     )
     return select_token_budget(

@@ -221,6 +221,9 @@ def run_selection(
                 "params": params[stage],
                 "metrics": json.dumps(metrics_fn() if metrics_fn else {}, sort_keys=True),
                 "finished": time.time(),
+                # uniform ledger schema with increment rows (mixed parquet
+                # footers would make column resolution file-order-dependent)
+                "batch_id": "",
             },
         )
         run.append(stage)
@@ -335,11 +338,36 @@ def _latest_stage_params(spark: SparkSession, out_dir: str, stage: str) -> Optio
     return json.loads(latest["params"])
 
 
+def _done_increments(spark: SparkSession, out_dir: str) -> List[dict]:
+    """Committed increments: ledger rows (stage='increment', done) whose
+    BOTH side dirs exist — an orphan subdir from a crash before the
+    ledger append is simply not trusted (and a retry overwrites it)."""
+    path = _ledger_path(out_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    ledger = spark.read.parquet(path).where(
+        (F.col("status") == "done") & (F.col("stage") == "increment")
+    )
+    if "batch_id" not in ledger.columns:
+        return []
+    out = []
+    for r in ledger.select("batch_id", "params", "finished").collect():
+        v = _stage_path(out_dir, f"valid_inc/inc={r['batch_id']}")
+        b = _stage_path(out_dir, f"bands_inc/inc={r['batch_id']}")
+        if fs.exists(_hadoop_fs(spark, v)[1]) and fs.exists(_hadoop_fs(spark, b)[1]):
+            out.append({"batch_id": r["batch_id"], "params": json.loads(r["params"]),
+                        "finished": r["finished"]})
+    return out
+
+
 def run_increment(
     spark: SparkSession,
     new_docs: DataFrame,
     out_dir: str,
     threshold: Optional[float] = None,
+    batch_id: Optional[str] = None,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Incremental ingest against a STAGED selection: dedup *new_docs*
     against the already-sketched corpus WITHOUT re-sketching it — the
@@ -347,23 +375,37 @@ def run_increment(
     :func:`run_selection` per ingest would pay the full corpus sketch
     every day.
 
-    * Banding/validity parameters come from the ledger (the ones the
-      corpus was actually sketched with — band hashes are only
-      comparable under identical parameters); ``threshold`` defaults to
-      the staged pairs threshold.
-    * Corpus side = staged ``bands/`` (+ previous increments'
-      ``bands_inc/``) — a narrow parquet scan equi-joined on the band
-      key; only the new batch pays the sketch UDF.
-    * Survivors (validity-gated new docs with no verified near-dup in
-      corpus ∪ prior increments) are APPENDED to ``valid_inc/`` +
-      ``bands_inc/`` side dirs — the base stages stay immutable, so
-      ``run_selection`` resume semantics are untouched — and a ledger
-      row (stage='increment') records counts + params.
+    * Banding/validity parameters come from the ledger (band hashes are
+      only comparable under identical parameters); ``threshold``
+      defaults to the staged pairs threshold.  If prior increments were
+      committed under DIFFERENT sketch params (the base was re-run with
+      new params since), the call refuses — their side dirs are stale
+      and must be rebuilt, never silently unioned.
+    * The batch is deduped WITHIN itself first (exact + verified
+      near-dup clusters → min-id representatives), then cross-deduped
+      against staged ``bands/`` ∪ committed increments' bands.  The
+      batch's band table is sketched ONCE and reused for within-batch
+      candidates, cross candidates and the survivors' band append.
+    * Commit is atomic per batch: survivors + their bands OVERWRITE
+      per-batch subdirs (``valid_inc/inc=<batch_id>``,
+      ``bands_inc/inc=<batch_id>``), then the ledger row lands — a crash
+      mid-commit leaves an orphan subdir that is not trusted and is
+      overwritten on retry; re-running a COMMITTED ``batch_id`` is a
+      no-op returning the staged survivors (pass a caller-stable
+      ``batch_id`` to get idempotent retries; the default is a fresh
+      uuid).  Base stages stay immutable → ``run_selection`` resume
+      semantics untouched.
 
     Returns the survivors (doc_id, lang, text)."""
+    import uuid
+
     from localmod_spark.operators.dedup import (
+        candidates_from_bands,
         cross_dedup_survivors,
+        dup_clusters,
+        exact_dedup,
         explode_minhash_bands,
+        ngram_jaccard,
         with_minhash,
     )
     from localmod_spark.operators.validate import with_validity
@@ -377,43 +419,80 @@ def run_increment(
         )
     if threshold is None:
         threshold = pairs_params["threshold"]
+    batch_id = batch_id or uuid.uuid4().hex[:12]
 
-    corpus_docs = spark.read.parquet(_stage_path(out_dir, "valid"))
-    corpus_bands = spark.read.parquet(_stage_path(out_dir, "bands"))
-    inc_valid_path = _stage_path(out_dir, "valid_inc")
-    inc_bands_path = _stage_path(out_dir, "bands_inc")
-    fs, h_inc = _hadoop_fs(spark, inc_valid_path)
-    if fs.exists(h_inc):
-        corpus_docs = corpus_docs.unionByName(spark.read.parquet(inc_valid_path))
-        corpus_bands = corpus_bands.unionByName(spark.read.parquet(inc_bands_path))
-
-    new_valid = (
-        with_validity(new_docs, max_len=band_params["max_len"])
-        .where(F.col("valid"))
-        .select("doc_id", "lang", "text")
-    )
     kw = dict(
         num_hashes=band_params["num_hashes"],
         shingle_k=band_params["shingle_k"],
         bands=band_params["bands"],
         rows_per_band=band_params["rows_per_band"],
     )
+    committed = _done_increments(spark, out_dir)
+    for inc in committed:
+        if inc["batch_id"] == batch_id:
+            # idempotent retry of a committed batch
+            return spark.read.parquet(_stage_path(out_dir, f"valid_inc/inc={batch_id}"))
+        stale = {k: inc["params"].get(k) for k in kw if inc["params"].get(k) != kw[k]}
+        if stale:
+            raise ValueError(
+                f"increment {inc['batch_id']} was sketched under different banding "
+                f"params ({stale} vs current {kw}) — its band hashes are not comparable "
+                "with the rebuilt base sketch; remove the valid_inc/bands_inc side dirs "
+                "(or re-run run_selection with the original params) before new increments"
+            )
+
+    corpus_docs = spark.read.parquet(_stage_path(out_dir, "valid"))
+    corpus_bands = spark.read.parquet(_stage_path(out_dir, "bands"))
+    for inc in committed:
+        corpus_docs = corpus_docs.unionByName(
+            spark.read.parquet(_stage_path(out_dir, f"valid_inc/inc={inc['batch_id']}"))
+        )
+        corpus_bands = corpus_bands.unionByName(
+            spark.read.parquet(_stage_path(out_dir, f"bands_inc/inc={inc['batch_id']}"))
+        )
+
     t0 = time.time()
-    survivors = cross_dedup_survivors(
-        new_valid, corpus_docs, corpus_bands, threshold=threshold, **kw
-    ).localCheckpoint()  # survivors feed two writes + the caller — compute once
-    survivors.write.mode("append").parquet(inc_valid_path)
-    surv_bands = explode_minhash_bands(
-        with_minhash(
-            survivors,
-            num_hashes=kw["num_hashes"],
-            shingle_k=kw["shingle_k"],
-            shingle_mode="word",
-        ),
-        bands=kw["bands"],
-        rows_per_band=kw["rows_per_band"],
+    new_valid = (
+        with_validity(new_docs, max_len=band_params["max_len"])
+        .where(F.col("valid"))
+        .select("doc_id", "lang", "text")
     )
-    surv_bands.write.mode("append").parquet(inc_bands_path)
+    # within-batch dedup: exact first, then verified near-dup clusters →
+    # min-id representatives (a duplicated pair inside one batch must not
+    # both enter the corpus)
+    new_valid = exact_dedup(new_valid)
+    sigs = with_minhash(
+        new_valid, num_hashes=kw["num_hashes"], shingle_k=kw["shingle_k"], shingle_mode="word"
+    )
+    # the batch band table: sketched ONCE (persisted), reused for
+    # within-batch candidates, cross candidates and the survivor append
+    from pyspark.storagelevel import StorageLevel
+
+    batch_bands = explode_minhash_bands(
+        sigs, bands=kw["bands"], rows_per_band=kw["rows_per_band"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    within = ngram_jaccard(
+        new_valid, candidates_from_bands(batch_bands, max_bucket=max_bucket),
+        n=kw["shingle_k"],
+    ).where(F.round("jaccard", 4) >= threshold)
+    reps = dup_clusters(new_valid, within.select("id_a", "id_b"))
+    keep_ids = reps.where(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    batch = new_valid.join(keep_ids, "doc_id", "left_semi")
+    batch_bands_kept = batch_bands.join(keep_ids, "doc_id", "left_semi")
+
+    survivors = cross_dedup_survivors(
+        batch, corpus_docs, corpus_bands,
+        threshold=threshold, new_bands=batch_bands_kept, max_bucket=max_bucket, **kw,
+    ).localCheckpoint()  # feeds two writes + the caller — compute once
+    # atomic per-batch commit: overwrite subdirs, ledger row LAST
+    survivors.write.mode("overwrite").parquet(
+        _stage_path(out_dir, f"valid_inc/inc={batch_id}")
+    )
+    surv_ids = survivors.select("doc_id")
+    batch_bands_kept.join(surv_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        _stage_path(out_dir, f"bands_inc/inc={batch_id}")
+    )
+    batch_bands.unpersist()
     _append_ledger_row(
         spark,
         _ledger_path(out_dir),
@@ -426,6 +505,7 @@ def run_increment(
             "params": json.dumps(dict(kw, threshold=threshold), sort_keys=True),
             "metrics": json.dumps({}, sort_keys=True),
             "finished": time.time(),
+            "batch_id": batch_id,
         },
     )
     return survivors

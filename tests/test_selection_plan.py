@@ -214,3 +214,76 @@ def test_run_increment_requires_staged_selection(spark, tmp_path):
                                 "doc_id long, lang string, text string")
     with pytest.raises(ValueError, match="run_selection first"):
         run_increment(spark, new, str(tmp_path / "nothing"))
+
+
+def test_run_increment_dedups_within_batch(spark, tmp_path):
+    """A duplicated pair INSIDE one batch yields exactly one survivor —
+    duplicates never enter the incremental corpus together."""
+    from localmod_spark.plans.selection import run_increment
+
+    base = spark.createDataFrame(
+        [(0, "en", "a completely different document about quarterly finance and audits")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "sel")
+    run_selection(spark, base, out)
+    batch = spark.createDataFrame(
+        [(10, "en", "an entirely novel report covering mountain glacier retreat photography"),
+         (11, "en", "an entirely novel report covering mountain glacier retreat photography"),
+         (12, "en", "fresh content about deep sea hydrothermal vent ecosystems and sampling")],
+        "doc_id long, lang string, text string",
+    )
+    kept = sorted(r.doc_id for r in run_increment(spark, batch, out).collect())
+    assert kept == [10, 12]  # min-id representative of the within-batch pair
+
+
+def test_run_increment_idempotent_retry_and_stale_params(spark, tmp_path):
+    """Retrying a committed batch_id is a no-op (no double append); after
+    the base is re-sketched under different params, increments refuse to
+    union stale side dirs."""
+    from localmod_spark.plans.selection import run_increment
+
+    base = spark.createDataFrame(
+        [(0, "en", "a completely different document about quarterly finance and audits")],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "sel")
+    run_selection(spark, base, out)
+    batch = spark.createDataFrame(
+        [(10, "en", "an entirely novel report covering mountain glacier retreat photography")],
+        "doc_id long, lang string, text string",
+    )
+    s1 = run_increment(spark, batch, out, batch_id="day1")
+    assert [r.doc_id for r in s1.collect()] == [10]
+    s2 = run_increment(spark, batch, out, batch_id="day1")  # committed → no-op
+    assert [r.doc_id for r in s2.collect()] == [10]
+    ledger = spark.read.parquet(f"{out}/_lineage")
+    assert ledger.where("stage = 'increment'").count() == 1
+    # rebuild the base under different sketch params → stale increments refused
+    run_selection(spark, base, out, num_hashes=32)
+    with pytest.raises(ValueError, match="different banding params"):
+        run_increment(spark, batch, out, batch_id="day2")
+
+
+def test_token_budget_scalable_null_scores_match_exact(spark):
+    """NULL quality scores (desc → nulls last in the exact operator) get
+    their own lowest histogram bin — outputs stay identical."""
+    from localmod_spark.operators.sampling import select_token_budget, select_token_budget_scalable
+
+    rows = [(0, "en", 300, 0.9), (1, "en", 300, None), (2, "en", 300, 0.5),
+            (3, "en", 300, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long, q double")
+    for budget in (600, 900, 1200, 2000):
+        exact = {
+            (r.doc_id, r.cum_tokens)
+            for r in select_token_budget(
+                df, budget, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
+            ).collect()
+        }
+        scal = {
+            (r.doc_id, r.cum_tokens)
+            for r in select_token_budget_scalable(
+                df, budget, score_col="q", group_cols=("lang",), n_buckets=8
+            ).collect()
+        }
+        assert scal == exact, budget
