@@ -257,3 +257,27 @@ def test_ivf_join_topk_is_list_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "_plist" in plan and "Window" in plan
+
+
+def test_incremental_dedup_is_band_equi_join_plus_anti(spark, docs):
+    """Cross-set dedup: candidates from a (band_ix, band_hash) keyed
+    equi-join (never a cartesian over new×corpus), survivors via a
+    LeftAnti join — and the corpus side is a band TABLE (reusable staged
+    artifact), not a re-sketch."""
+    from localmod_spark.operators.dedup import (
+        cross_dedup_survivors,
+        explode_minhash_bands,
+        with_minhash,
+    )
+
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    corpus_bands = explode_minhash_bands(
+        with_minhash(corpus, num_hashes=16, shingle_k=3, shingle_mode="word"),
+        bands=4, rows_per_band=4,
+    )
+    plan = plan_of(cross_dedup_survivors(new, corpus, corpus_bands, bands=4, rows_per_band=4, num_hashes=16))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "band_hash" in plan  # the band key really is the join key
