@@ -314,12 +314,23 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             out[nz] = np.fromiter((fn(t) for t in s_arr[nz]), dtype=float, count=k)
         return out
 
+    def _gated_contains(pre_np: np.ndarray, sub: pd.Series, pattern) -> np.ndarray:
+        """Per-pattern mask computed only on the prescreen hits and
+        scattered back — identical truth values (the prescreen union is a
+        superset of every individual pattern), fewer regex scans."""
+        m = np.zeros(n, dtype=bool)
+        if len(sub):
+            m[pre_np] = sub.str.contains(pattern, na=False).to_numpy()
+        return m
+
     # ---- spam (vectorized patterns + per-text caps ratio) ----
     spam_score = np.zeros(n)
     spam_masks = []
     if "spam" in enabled:
+        spam_pre = s.str.contains(spam_mod._ANY_ALT, na=False).to_numpy()
+        spam_sub = s[spam_pre]
         for name, pattern, weight in spam_mod._COMPILED:
-            m = s.str.contains(pattern, na=False).to_numpy()
+            m = _gated_contains(spam_pre, spam_sub, pattern)
             spam_masks.append((name, m))
             spam_score += np.where(m, weight, 0.0)
         caps = np.fromiter(
@@ -338,8 +349,10 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     inj_score = np.zeros(n)
     inj_critical = np.zeros(n, dtype=bool)
     if "prompt_injection" in enabled:
+        inj_pre = s.str.contains(inj_mod._ANY_ALT, na=False).to_numpy()
+        inj_sub = s[inj_pre]
         for cat, alt in inj_mod._CAT_ALT:
-            inj_cat_masks.append((cat, s.str.contains(alt, na=False).to_numpy()))
+            inj_cat_masks.append((cat, _gated_contains(inj_pre, inj_sub, alt)))
         inj_n = np.sum([m for _, m in inj_cat_masks], axis=0)
         inj_score = np.where(inj_n > 0, np.minimum(inj_n * 0.3, 0.9), 0.0)
         if cfg.injection_ml_fn is not None:  # `prompt_injection.py:128-132`
