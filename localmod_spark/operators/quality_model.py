@@ -26,15 +26,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _feature_pipeline(text_col: str, dim: int):
+def _feature_pipeline(text_col: str, dim: int, bigrams: bool = False):
     from pyspark.ml import Pipeline
-    from pyspark.ml.feature import HashingTF, RegexTokenizer
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, SQLTransformer
 
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=True
     )
-    tf = HashingTF(inputCol="_toks", outputCol="features", numFeatures=dim)
-    return Pipeline(stages=[tok, tf])
+    if not bigrams:
+        tf = HashingTF(inputCol="_toks", outputCol="features", numFeatures=dim)
+        return Pipeline(stages=[tok, tf])
+    # fastText-faithful features: word bigrams UNIONED with the unigrams
+    # into one token stream before hashing — one shared hash space (the
+    # fastText bucket trick), still entirely JVM-side (NGram and the
+    # array concat are catalyst expressions; SQLTransformer serializes
+    # with the PipelineModel so the scoring path stays save/load-able)
+    ng = NGram(n=2, inputCol="_toks", outputCol="_bigrams")
+    cat = SQLTransformer(
+        statement="SELECT *, concat(_toks, _bigrams) AS _grams FROM __THIS__"
+    )
+    tf = HashingTF(inputCol="_grams", outputCol="features", numFeatures=dim)
+    return Pipeline(stages=[tok, ng, cat, tf])
 
 
 def train_quality_classifier(
@@ -44,6 +56,8 @@ def train_quality_classifier(
     dim: int = 1 << 16,
     max_iter: int = 50,
     reg_param: float = 1e-4,
+    model_path: str = None,
+    bigrams: bool = False,
 ):
     """Fit tokenize→hashTF→logistic-regression on a labeled seed set
     (label 1 = good/curated, 0 = bad/raw).  Returns the fitted
@@ -51,7 +65,19 @@ def train_quality_classifier(
 
     The seed set is small by construction (curation is the expensive
     part); training cost is per-seed-row, scoring cost is per-corpus-row
-    and fully JVM-side."""
+    and fully JVM-side.
+
+    ``model_path`` (optional) persists the fitted model there — any
+    Hadoop-FS URI (hdfs://, s3a://, file://); the artifact is KEPT (it is
+    the caller's model registry entry) and the returned model is loaded
+    back from it.  With the default ``None`` the roundtrip uses a
+    driver-local temp dir addressed with an explicit ``file://`` scheme —
+    NOT the cluster default FS, so it stays correct when
+    ``fs.defaultFS`` is HDFS/S3A — and removes it afterwards.
+
+    ``bigrams=True`` hashes word bigrams alongside the unigrams (the
+    fastText n-gram trick — word order is what separates fluent prose
+    from keyword soup); same hash space, same JVM-only scoring path."""
     import os
     import tempfile
     import uuid
@@ -59,7 +85,7 @@ def train_quality_classifier(
     from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
 
-    feats = _feature_pipeline(text_col, dim)
+    feats = _feature_pipeline(text_col, dim, bigrams=bigrams)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol=label_col,
@@ -76,14 +102,20 @@ def train_quality_classifier(
     # sessions that ran multithreaded observed jobs).  Persisted models
     # drop the summary — and production scores from a saved artifact
     # anyway, so the roundtrip also keeps that path exercised.
-    path = os.path.join(tempfile.gettempdir(), f"quality_model_{uuid.uuid4().hex}")
+    if model_path is not None:
+        fitted.write().overwrite().save(model_path)
+        return PipelineModel.load(model_path)
+    local = os.path.join(tempfile.gettempdir(), f"quality_model_{uuid.uuid4().hex}")
+    path = f"file://{local}"
     try:
         fitted.write().overwrite().save(path)
         return PipelineModel.load(path)
     finally:
         import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
+        # the file:// scheme pinned the artifact to the driver's local
+        # disk regardless of fs.defaultFS, so a local rmtree is exact
+        shutil.rmtree(local, ignore_errors=True)
 
 
 def score_quality(model, docs: DataFrame, text_col: str = None) -> DataFrame:
@@ -117,5 +149,8 @@ def score_quality(model, docs: DataFrame, text_col: str = None) -> DataFrame:
     out = scored.withColumn(
         "model_quality",
         F.round(vector_to_array(F.col("probability")).getItem(1), 6),
-    ).drop("_toks", "features", "rawPrediction", "probability", "prediction")
+    ).drop(
+        "_toks", "_bigrams", "_grams", "features",
+        "rawPrediction", "probability", "prediction",
+    )
     return out.withColumnRenamed(trained_col, text_col) if renamed else out

@@ -153,12 +153,33 @@ def select_token_budget_scalable(
             F.lit(0),
         )
     ).cast("int")
-    bucketed = df.withColumn("_qb", bucket)
+    # two passes read `bucketed` (histogram, then the pruned window) —
+    # persist so an expensive upstream (the token/score expressions are
+    # typically UDF or split-heavy projections) computes once; the block
+    # is registered for release like the dedup sketch caches
+    from pyspark.storagelevel import StorageLevel
+
+    from localmod_spark.operators.dedup import _STAGE_CACHES
+
+    bucketed = df.withColumn("_qb", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    _STAGE_CACHES.append(bucketed)
     hist = (
         bucketed.groupBy(*group_cols, "_qb")
         .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
         .collect()
     )
+    # the driver holds groups × n_buckets histogram rows — bounded by
+    # GROUP CARDINALITY, not data size; guard it so a caller who groups
+    # by a high-cardinality key (user_id...) fails loudly, not with an
+    # inscrutable driver OOM.  The intended granularity is language ×
+    # domain-shard (thousands of groups at most).
+    if len(hist) > 2_000_000:
+        raise ValueError(
+            f"token-budget histogram has {len(hist)} (group, bin) rows — "
+            f"group_cols={list(group_cols)} is too high-cardinality for the "
+            "driver-side bin walk; group at language/domain granularity or "
+            "reduce n_buckets"
+        )
     _KEEP_ALL = -2  # sentinel below the null bin: every bin fits
     per_group: dict = {}
     for r in hist:

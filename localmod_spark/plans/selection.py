@@ -66,6 +66,16 @@ def _stage_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage)
 
 
+def _read_ledger(spark: SparkSession, path: str) -> DataFrame:
+    """Ledger rows land one parquet file each, so a dir written across
+    schema revisions (pre-tracking rows without params/finished/batch_id)
+    has MIXED footers; without mergeSchema Spark resolves the schema from
+    an arbitrary file and resume nondeterministically loses columns.
+    mergeSchema unions the footers and null-fills the old rows — the
+    callers treat null params/finished as 'predates tracking'."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def _ledger_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
@@ -110,7 +120,7 @@ def completed_stages(
     if not fs.exists(hpath):
         return set()
     try:
-        ledger = spark.read.parquet(path).where(F.col("status") == "done")
+        ledger = _read_ledger(spark, path).where(F.col("status") == "done")
         if stage_params is not None:
             if "params" not in ledger.columns:
                 warnings.warn(
@@ -121,14 +131,19 @@ def completed_stages(
                 return set()
             # only the LATEST row per stage describes what's on disk —
             # a rerun under new params overwrites the stage dir but the
-            # superseded ledger rows (old params) remain appended
+            # superseded ledger rows (old params) remain appended.  Rows
+            # from before parameter tracking have NULL params/finished
+            # (mergeSchema fills the missing columns): null finished sorts
+            # oldest, null params never matches the requested params — so
+            # exactly that stage recomputes, nothing else degrades.
             rows = ledger.select("stage", "params", "finished").collect()
             latest: Dict[str, tuple] = {}
             for r in rows:
                 if r["stage"] not in STAGES:
                     continue  # e.g. 'increment' rows — not resume stages
-                if r["stage"] not in latest or r["finished"] > latest[r["stage"]][1]:
-                    latest[r["stage"]] = (r["params"], r["finished"])
+                fin = r["finished"] if r["finished"] is not None else 0.0
+                if r["stage"] not in latest or fin > latest[r["stage"]][1]:
+                    latest[r["stage"]] = (r["params"], fin)
             done = {s for s, (p, _) in latest.items() if stage_params.get(s) == p}
             stale = set(latest) - done
             if stale:
@@ -321,20 +336,35 @@ def run_selection(
 
 
 def _latest_stage_params(spark: SparkSession, out_dir: str, stage: str) -> Optional[dict]:
-    """The params JSON of the LATEST done ledger row for *stage*."""
+    """The params JSON of the LATEST done ledger row for *stage*.
+
+    Raises ValueError (not None — callers distinguish 'no ledger' from
+    'ledger predates tracking') when done rows for the stage exist but
+    the latest one carries no params: increments REQUIRE the sketch
+    params (band hashes are only comparable under identical parameters),
+    so an untracked base must be re-run, never guessed at."""
     path = _ledger_path(out_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
-    ledger = spark.read.parquet(path).where(
+    ledger = _read_ledger(spark, path).where(
         (F.col("status") == "done") & (F.col("stage") == stage)
     )
     if "params" not in ledger.columns:
-        return None
+        ledger = ledger.withColumn("params", F.lit(None).cast("string"))
+    if "finished" not in ledger.columns:
+        ledger = ledger.withColumn("finished", F.lit(None).cast("double"))
     rows = ledger.select("params", "finished").collect()
     if not rows:
         return None
-    latest = max(rows, key=lambda r: r["finished"])
+    latest = max(rows, key=lambda r: r["finished"] if r["finished"] is not None else 0.0)
+    if latest["params"] is None:
+        raise ValueError(
+            f"the selection ledger at {out_dir} predates parameter tracking for "
+            f"stage {stage!r} — increments must reuse the exact banding parameters "
+            "the corpus was sketched with; re-run run_selection (which records "
+            "them) before ingesting increments"
+        )
     return json.loads(latest["params"])
 
 
@@ -346,13 +376,15 @@ def _done_increments(spark: SparkSession, out_dir: str) -> List[dict]:
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return []
-    ledger = spark.read.parquet(path).where(
+    ledger = _read_ledger(spark, path).where(
         (F.col("status") == "done") & (F.col("stage") == "increment")
     )
     if "batch_id" not in ledger.columns:
         return []
     out = []
     for r in ledger.select("batch_id", "params", "finished").collect():
+        if r["batch_id"] is None or r["params"] is None:
+            continue  # pre-tracking rows can't describe an increment
         v = _stage_path(out_dir, f"valid_inc/inc={r['batch_id']}")
         b = _stage_path(out_dir, f"bands_inc/inc={r['batch_id']}")
         if fs.exists(_hadoop_fs(spark, v)[1]) and fs.exists(_hadoop_fs(spark, b)[1]):

@@ -287,3 +287,68 @@ def test_token_budget_scalable_null_scores_match_exact(spark):
             ).collect()
         }
         assert scal == exact, budget
+
+
+def _append_old_schema_row(spark, out, stage, wave):
+    """Simulate a ledger row written BEFORE parameter tracking: no
+    params / finished / batch_id columns in its parquet footer."""
+    from localmod_spark.plans.pipeline import _append_ledger_row
+
+    _append_ledger_row(
+        spark,
+        f"{out}/_lineage",
+        {"wave": wave, "stage": stage, "status": "done", "rows": 1, "wall_ms": 0.0},
+    )
+
+
+def _drop_stage_ledger_files(out, wave):
+    import glob
+    import os
+
+    for f in glob.glob(f"{out}/_lineage/part-{wave:05d}-*.parquet"):
+        os.remove(f)
+
+
+def test_mixed_schema_ledger_keeps_resume_working(spark, docs, tmp_path):
+    """An old-schema row alongside tracked rows (mixed parquet footers)
+    must not break resume: mergeSchema unions the footers, the null
+    finished sorts oldest, and every stage still skips."""
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    _append_old_schema_row(spark, out, "bands", 1)
+    res = run_selection(spark, docs, out)
+    assert res.stages_run == []
+    assert res.stages_skipped == list(STAGES)
+
+
+def test_pre_tracking_stage_row_recomputes_that_stage_only(spark, docs, tmp_path):
+    """When a stage's ONLY ledger row predates parameter tracking (null
+    params), that stage (and its downstream) recomputes; upstream tracked
+    stages are still reused — never a silent full recompute, never stale
+    reuse."""
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    _drop_stage_ledger_files(out, STAGES.index("pairs"))
+    _append_old_schema_row(spark, out, "pairs", STAGES.index("pairs"))
+    with pytest.warns(UserWarning, match="different parameters"):
+        res = run_selection(spark, docs, out)
+    assert res.stages_run == ["pairs", "clusters", "selected"]
+    assert set(res.stages_skipped) == {"valid", "bands"}
+
+
+def test_increment_refuses_pre_tracking_bands_with_clear_message(spark, docs, tmp_path):
+    """run_increment against a base whose bands row predates parameter
+    tracking must name the real problem (ledger predates tracking), not
+    claim there are no staged bands."""
+    from localmod_spark.plans.selection import run_increment
+
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    _drop_stage_ledger_files(out, STAGES.index("bands"))
+    _append_old_schema_row(spark, out, "bands", STAGES.index("bands"))
+    batch = spark.createDataFrame(
+        [(900_001, "en", "a fresh increment document about harbor logistics and tides")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="predates parameter tracking"):
+        run_increment(spark, batch, out)
