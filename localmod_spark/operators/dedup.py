@@ -202,6 +202,7 @@ def minhash_candidates(
     max_bucket: Optional[int] = None,
     stage: str = "persist",
     observation: Optional[Observation] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together → candidate pairs.
 
@@ -234,6 +235,12 @@ def minhash_candidates(
     ``dropped_pairs`` (the quadratic pair potential the cap averted) and
     ``max_bucket_width`` — riding the candidate action itself, no extra
     pass (plans/selection.py records them in its ledger).
+
+    ``cap_mode="shard"`` keeps the bound WITHOUT the recall loss: wide
+    buckets are hash-sharded and every shard-pair cell is covered, so the
+    pair set equals the uncapped run's exactly while no task exceeds
+    ~2·max_bucket rows per cell (see :func:`_sharded_self_pair_rows`;
+    counters become sharded_buckets / replica_rows / max_bucket_width).
     """
     if stage not in ("persist", "none"):
         raise ValueError("stage must be 'persist' or 'none'")
@@ -244,7 +251,8 @@ def minhash_candidates(
         exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
         _STAGE_CACHES.append(exploded)
     return candidates_from_bands(
-        exploded, id_col=id_col, max_bucket=max_bucket, observation=observation
+        exploded, id_col=id_col, max_bucket=max_bucket, observation=observation,
+        cap_mode=cap_mode,
     )
 
 
@@ -270,6 +278,145 @@ def explode_minhash_bands(
     )
 
 
+def _check_cap_mode(cap_mode: str) -> None:
+    if cap_mode not in ("drop", "shard"):
+        raise ValueError(f"cap_mode must be 'drop' or 'shard', got {cap_mode!r}")
+
+
+def _wide_buckets(
+    exploded: DataFrame,
+    key_cols: list,
+    max_bucket: int,
+    observation: Optional[Observation],
+    id_count_col: Optional[str] = None,
+) -> DataFrame:
+    """Buckets wider than the cap, with their shard count:
+    (key_cols…, _w, _k = ⌈w/max_bucket⌉) — the control table of shard
+    mode.  Persisted (it is tiny — at most total_rows/max_bucket rows,
+    in practice a handful of pathological buckets) because every shard
+    plan consumes it from 2-3 branches; persisting also makes the
+    attached Observation's CollectMetrics execute exactly once.  Metrics:
+    ``sharded_buckets``, ``replica_rows`` (extra replicas the shard fan-
+    out creates on the replicated side, in DOUBLE — same overflow
+    rationale as ``_cap_metrics``), ``max_bucket_width``."""
+    from pyspark.storagelevel import StorageLevel
+
+    cnt = F.count(F.lit(1)) if id_count_col is None else F.count(F.col(id_count_col))
+    widths = exploded.groupBy(*key_cols).agg(cnt.alias("_w"))
+    wide = widths.where(F.col("_w") > max_bucket).withColumn(
+        "_k", F.ceil(F.col("_w") / F.lit(max_bucket)).cast("int")
+    )
+    if observation is not None:
+        wide = wide.observe(
+            observation,
+            F.count(F.lit(1)).alias("sharded_buckets"),
+            F.sum(
+                F.col("_w").cast("double") * (F.col("_k").cast("double") - 1)
+            ).alias("replica_rows"),
+            F.max("_w").alias("max_bucket_width"),
+        )
+    wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+    _STAGE_CACHES.append(wide)
+    return wide
+
+
+def _self_pair_rows(
+    exploded: DataFrame, key_cols: list, id_col: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """Per-bucket ordered pair occurrences from a bucket-keyed self
+    equi-join: (id_a < id_b, a_<extra>, b_<extra>) — one row per bucket
+    the pair shares (callers aggregate/dedupe across buckets)."""
+    import functools
+    import operator
+
+    left, right = exploded.alias("l"), exploded.alias("r")
+    cond = functools.reduce(
+        operator.and_, [F.col(f"l.{c}") == F.col(f"r.{c}") for c in key_cols]
+    ) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    sel = [F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")]
+    for c in extra_cols:
+        sel += [F.col(f"l.{c}").alias(f"a_{c}"), F.col(f"r.{c}").alias(f"b_{c}")]
+    return left.join(right, cond).select(*sel)
+
+
+def _sharded_self_pair_rows(
+    exploded: DataFrame,
+    key_cols: list,
+    id_col: str,
+    max_bucket: int,
+    observation: Optional[Observation] = None,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The recall-PRESERVING giant-bucket strategy (``cap_mode="shard"``):
+    instead of dropping an over-wide bucket (a recall loss), split its
+    rows into ``k = ⌈w/max_bucket⌉`` hash shards and cover all C(k+1, 2)
+    shard-pair cells — every uncapped pair is still emitted exactly once,
+    while no single join task sees more than ~2·max_bucket rows per cell.
+
+    Mechanics (the classic 1-bucket theta-join decomposition): a row in
+    shard ``s`` replicates into the ``k`` cells ``(min(s,t), max(s,t))``
+    for ``t ∈ [0, k)``; within a cell, rows whose shard equals the cell's
+    first coordinate join as the left side, second coordinate as the
+    right (diagonal cells qualify both ways and keep the ``id_a < id_b``
+    half).  Exactly-once: two rows share precisely one cell — the one
+    named by their two shards — and exactly one (left, right) role
+    assignment within it.  Emitted ids are normalized ``least/greatest``
+    (cross-shard pairs can join in either id order); ``extra_cols`` swap
+    with them.
+
+    The trade vs ``cap_mode="drop"``: zero recall loss, but the pair
+    count stays inherently quadratic in the bucket width — shard mode
+    bounds TASK size, not total work.  w·k replicas ≈ w²/max_bucket rows
+    materialize for a width-w bucket, so truly degenerate buckets
+    (byte-identical boilerplate at 10^6+) still want :func:`exact_dedup`
+    upstream; the Observation's ``replica_rows`` makes the fan-out
+    visible.  Normal-width buckets take the plain self-join path
+    unchanged."""
+    keys = list(key_cols)
+    wide_keys = _wide_buckets(exploded, keys, max_bucket, observation)
+    normal = exploded.join(wide_keys.select(*keys), keys, "left_anti")
+    normal_pairs = _self_pair_rows(normal, keys, id_col, extra_cols)
+
+    wide = exploded.join(wide_keys.select(*keys, "_k"), keys)
+    shard = F.pmod(F.xxhash64(F.col(id_col), F.lit(909)), F.col("_k")).cast("int")
+    wide = wide.withColumn("_s", shard)
+    cells = F.transform(
+        F.sequence(F.lit(0), F.col("_k") - 1),
+        lambda t: F.struct(
+            F.least(F.col("_s"), t).alias("ci"), F.greatest(F.col("_s"), t).alias("cj")
+        ),
+    )
+    rep = wide.select(
+        F.col(id_col), *[F.col(c) for c in keys], *[F.col(c) for c in extra_cols],
+        F.col("_s"), F.explode(cells).alias("_c"),
+    ).select(
+        id_col, *keys, *extra_cols, "_s",
+        F.col("_c.ci").alias("_ci"), F.col("_c.cj").alias("_cj"),
+    )
+    import functools
+    import operator
+
+    lefts = rep.where(F.col("_s") == F.col("_ci")).alias("l")
+    rights = rep.where(F.col("_s") == F.col("_cj")).alias("r")
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in [*keys, "_ci", "_cj"]],
+    ) & (
+        (F.col("l._ci") < F.col("l._cj"))
+        | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    swap = lid > rid
+    sel = [F.least(lid, rid).alias("id_a"), F.greatest(lid, rid).alias("id_b")]
+    for c in extra_cols:
+        sel += [
+            F.when(swap, F.col(f"r.{c}")).otherwise(F.col(f"l.{c}")).alias(f"a_{c}"),
+            F.when(swap, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"b_{c}"),
+        ]
+    wide_pairs = lefts.join(rights, cond).select(*sel)
+    return normal_pairs.unionByName(wide_pairs)
+
+
 def _cap_metrics(max_bucket: int) -> list:
     """Observation aggregates over the bucket-width table: how much the
     giant-bucket cap actually dropped (and how wide the worst bucket was).
@@ -292,33 +439,38 @@ def candidates_from_bands(
     id_col: str = "doc_id",
     max_bucket: Optional[int] = None,
     observation: Optional[Observation] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Band table → candidate pairs (the join half of the LSH pipeline);
     accepts either the in-session exploded table or one read back from a
-    staged parquet.  With ``max_bucket`` + ``observation``, the observed
-    metrics (dropped_buckets / dropped_pairs / max_bucket_width) ride the
-    width aggregation already needed for the cap — zero extra passes."""
-    if max_bucket is not None:
-        # width count shares the join's shuffle key; the semi join prunes
-        # pathological buckets before any pair is generated
-        widths = exploded.groupBy("band_ix", "band_hash").agg(
-            F.count(F.lit(1)).alias("_w")
+    staged parquet.
+
+    Giant buckets (wider than ``max_bucket``) are handled per
+    ``cap_mode``: ``"drop"`` prunes them before the join (bounded work,
+    recall loss — observed as dropped_buckets / dropped_pairs /
+    max_bucket_width, riding the width aggregation the cap needs anyway);
+    ``"shard"`` splits them into hash shards and covers every shard-pair
+    cell (:func:`_sharded_self_pair_rows`) — ZERO dropped pairs, bounded
+    task size, observed as sharded_buckets / replica_rows /
+    max_bucket_width."""
+    _check_cap_mode(cap_mode)
+    keys = ["band_ix", "band_hash"]
+    if max_bucket is not None and cap_mode == "shard":
+        pair_rows = _sharded_self_pair_rows(
+            exploded, keys, id_col, max_bucket, observation
         )
-        if observation is not None:
-            widths = widths.observe(observation, *_cap_metrics(max_bucket))
-        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_hash")
-        exploded = exploded.join(narrow, ["band_ix", "band_hash"], "left_semi")
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_ix") == F.col("r.band_ix"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    else:
+        if max_bucket is not None:
+            # width count shares the join's shuffle key; the semi join
+            # prunes pathological buckets before any pair is generated
+            widths = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_w"))
+            if observation is not None:
+                widths = widths.observe(observation, *_cap_metrics(max_bucket))
+            narrow = widths.where(F.col("_w") <= max_bucket).select(*keys)
+            exploded = exploded.join(narrow, keys, "left_semi")
+        pair_rows = _self_pair_rows(exploded, keys, id_col)
+    return pair_rows.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_bands_shared")
     )
 
 
@@ -479,6 +631,7 @@ def cross_dedup_pairs(
     new_bands: Optional[DataFrame] = None,
     max_bucket: Optional[int] = None,
     observation: Optional[Observation] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs BETWEEN a new ingest batch and an
     already-sketched corpus: (id_new, id_old).
@@ -505,7 +658,17 @@ def cross_dedup_pairs(
     bucket, and the corpus side is the unbounded one): buckets whose
     corpus width exceeds the cap are pruned before the join, observably
     (``observation`` → dropped_buckets / dropped_corpus_rows /
-    max_bucket_width)."""
+    max_bucket_width).
+
+    ``cap_mode="shard"`` preserves recall instead: wide CORPUS buckets
+    split into ``k = ⌈w/max_bucket⌉`` hash shards (shard rides the join
+    key, so no shard's task exceeds ~max_bucket corpus rows) and the
+    small BATCH side replicates ×k into those buckets — zero dropped
+    pairs, bounded task size (``observation`` → sharded_buckets /
+    replica_rows / max_bucket_width; replica_rows counts corpus-row
+    magnitude, the batch-side fan-out is k× per probe of a wide
+    bucket)."""
+    _check_cap_mode(cap_mode)
     if new_bands is None:
         sigs = with_minhash(
             new_docs,
@@ -518,10 +681,39 @@ def cross_dedup_pairs(
         new_bands = explode_minhash_bands(
             sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band
         )
-    if max_bucket is not None:
-        widths = corpus_bands.groupBy("band_ix", "band_hash").agg(
-            F.count(F.lit(1)).alias("_w")
+    keys = ["band_ix", "band_hash"]
+    join_keys = list(keys)
+    if max_bucket is not None and cap_mode == "shard":
+        wk = _wide_buckets(corpus_bands, keys, max_bucket, observation).select(
+            *keys, "_k"
         )
+        # corpus rows in a wide bucket scatter into k hash shards (the
+        # shard joins as part of the key, bounding each task); rows in
+        # normal buckets sit in shard 0
+        corpus_bands = (
+            corpus_bands.join(wk, keys, "left")
+            .withColumn(
+                "_shard",
+                F.when(F.col("_k").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col), F.lit(909)), F.col("_k")).cast("int")
+                ),
+            )
+            .drop("_k")
+        )
+        # the batch side replicates into every shard of a wide bucket
+        # (×k only where it probes a wide bucket — the small side pays
+        # the fan-out, the unbounded side never moves twice)
+        new_bands = (
+            new_bands.join(wk, keys, "left")
+            .withColumn(
+                "_shard",
+                F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_k"), F.lit(1)) - 1)),
+            )
+            .drop("_k")
+        )
+        join_keys = keys + ["_shard"]
+    elif max_bucket is not None:
+        widths = corpus_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_w"))
         if observation is not None:
             over = F.col("_w") > max_bucket
             widths = widths.observe(
@@ -532,12 +724,12 @@ def cross_dedup_pairs(
                 ),
                 F.max("_w").alias("max_bucket_width"),
             )
-        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_hash")
-        corpus_bands = corpus_bands.join(narrow, ["band_ix", "band_hash"], "left_semi")
-    a = new_bands.select(F.col(id_col).alias("id_a"), "band_ix", "band_hash")
-    b = corpus_bands.select(F.col(id_col).alias("id_b"), "band_ix", "band_hash")
+        narrow = widths.where(F.col("_w") <= max_bucket).select(*keys)
+        corpus_bands = corpus_bands.join(narrow, keys, "left_semi")
+    a = new_bands.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = corpus_bands.select(F.col(id_col).alias("id_b"), *join_keys)
     return (
-        a.join(b, ["band_ix", "band_hash"])
+        a.join(b, join_keys)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -558,6 +750,7 @@ def cross_dedup_survivors(
     new_bands: Optional[DataFrame] = None,
     max_bucket: Optional[int] = None,
     observation: Optional[Observation] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """New-batch rows with NO verified near-duplicate in the corpus —
     the keep set of an incremental ingest (daily batch vs the selected
@@ -574,6 +767,7 @@ def cross_dedup_survivors(
         id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band, seed=seed,
         new_bands=new_bands, max_bucket=max_bucket, observation=observation,
+        cap_mode=cap_mode,
     )
     verified = ngram_jaccard(
         new_docs, cands, id_col=id_col, text_col=text_col, n=shingle_k, df_b=corpus_docs
@@ -829,6 +1023,7 @@ def simhash_candidates(
     max_bucket: Optional[int] = None,
     stage: str = "persist",
     observation: Optional[Observation] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding (Manku et al.,
     "Detecting Near-Duplicates for Web Crawling", WWW'07).
@@ -854,7 +1049,11 @@ def simhash_candidates(
         boundedness; scale jobs pass a cap AND run exact dedup upstream —
         and the drop is observable via ``observation`` (same
         dropped_buckets / dropped_pairs / max_bucket_width metrics as
-        :func:`minhash_candidates`).
+        :func:`minhash_candidates`).  ``cap_mode="shard"`` instead
+        hash-shards the wide buckets and covers every shard-pair cell —
+        the pigeonhole recall guarantee then holds UNCONDITIONALLY again
+        (zero dropped pairs, bounded task size; counters become
+        sharded_buckets / replica_rows / max_bucket_width).
     """
     if max_hamming > n_bands - 1:
         raise ValueError(
@@ -884,26 +1083,22 @@ def simhash_candidates(
 
         exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
         _STAGE_CACHES.append(exploded)
-    if max_bucket is not None:
-        widths = exploded.groupBy("band_ix", "band_val").agg(
-            F.count(F.lit(1)).alias("_w")
+    _check_cap_mode(cap_mode)
+    keys = ["band_ix", "band_val"]
+    if max_bucket is not None and cap_mode == "shard":
+        pair_rows = _sharded_self_pair_rows(
+            exploded, keys, id_col, max_bucket, observation, extra_cols=(sim_col,)
         )
-        if observation is not None:
-            widths = widths.observe(observation, *_cap_metrics(max_bucket))
-        narrow = widths.where(F.col("_w") <= max_bucket).select("band_ix", "band_val")
-        exploded = exploded.join(narrow, ["band_ix", "band_val"], "left_semi")
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col(sim_col).alias("_sa"), "band_ix", "band_val"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col(sim_col).alias("_sb"), "band_ix", "band_val"
-    )
-    cands = (
-        a.join(b, ["band_ix", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    else:
+        if max_bucket is not None:
+            widths = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_w"))
+            if observation is not None:
+                widths = widths.observe(observation, *_cap_metrics(max_bucket))
+            narrow = widths.where(F.col("_w") <= max_bucket).select(*keys)
+            exploded = exploded.join(narrow, keys, "left_semi")
+        pair_rows = _self_pair_rows(exploded, keys, id_col, extra_cols=(sim_col,))
+    cands = pair_rows.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col(f"a_{sim_col}").bitwiseXOR(F.col(f"b_{sim_col}")))
     return (
         cands.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)

@@ -487,6 +487,7 @@ def ann_join_topk(
     query_vec_col: str = None,
     max_bucket: int = None,
     observation: "Observation" = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Batched multi-query ANN join — the 100 TB "kNN for every doc"
     path (near-dup scoring, retrieval decontamination).  Both sides get
@@ -511,11 +512,34 @@ def ann_join_topk(
     |bucket|×|queries|-wide; AQE's skew-join split absorbs moderate skew,
     and ``max_bucket`` (opt-in, same recall-for-boundedness trade and
     ``observation`` counters as the dedup banding caps) prunes
-    pathological buckets before the join."""
+    pathological buckets before the join.  ``cap_mode="shard"`` keeps
+    the bound WITHOUT the recall loss: wide corpus buckets hash-shard
+    into ``⌈w/max_bucket⌉`` pieces (the shard id joins as part of the
+    key) and only the probe side replicates per shard — zero dropped
+    neighbors, counters become sharded_buckets / replica_rows /
+    max_bucket_width."""
+    from localmod_spark.operators.dedup import _check_cap_mode, _wide_buckets
+
+    _check_cap_mode(cap_mode)
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     corpus_b = with_lsh_bucket(corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
-    if max_bucket is not None:
+    sharding = max_bucket is not None and cap_mode == "shard"
+    if sharding:
+        wk = _wide_buckets(corpus_b, ["lsh_bucket"], max_bucket, observation).select(
+            "lsh_bucket", "_k"
+        )
+        corpus_b = (
+            corpus_b.join(wk, "lsh_bucket", "left")
+            .withColumn(
+                "_cshard",
+                F.when(F.col("_k").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col), F.lit(909)), F.col("_k")).cast("int")
+                ),
+            )
+            .drop("_k")
+        )
+    elif max_bucket is not None:
         widths = corpus_b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("_w"))
         if observation is not None:
             over = F.col("_w") > max_bucket
@@ -538,9 +562,22 @@ def ann_join_topk(
         F.col(qvec).alias("_qvec"),
         F.explode(F.array(*probes)).alias("_probe"),
     )
-    joined = corpus_b.join(qx, F.col("lsh_bucket") == F.col("_probe")).where(
-        F.col(id_col) != F.col("query_id")
-    )
+    cond = F.col("lsh_bucket") == F.col("_probe")
+    if sharding:
+        # each probe of a wide bucket fans out ×k — the query side is
+        # the small side by contract, so the replication is cheap and
+        # the per-(bucket, shard) task never exceeds ~max_bucket corpus
+        # rows × that bucket's probes
+        qx = (
+            qx.join(wk.withColumnRenamed("lsh_bucket", "_probe"), "_probe", "left")
+            .withColumn(
+                "_pshard",
+                F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_k"), F.lit(1)) - 1)),
+            )
+            .drop("_k")
+        )
+        cond = cond & (F.col("_cshard") == F.col("_pshard"))
+    joined = corpus_b.join(qx, cond).where(F.col(id_col) != F.col("query_id"))
     return _per_query_topk(joined, k, id_col, vec_col)
 
 

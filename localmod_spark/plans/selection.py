@@ -89,6 +89,7 @@ def _stage_params(
     max_bucket: Optional[int],
     max_len: int,
     token_band: Tuple[int, int],
+    cap_mode: str = "drop",
 ) -> Dict[str, str]:
     """Per-stage JSON of the parameters the stage's OUTPUT depends on —
     the invalidation key for resume.  Downstream-only params don't
@@ -101,6 +102,12 @@ def _stage_params(
         rows_per_band=rows_per_band,
     )
     pairs = dict(bands_p, threshold=threshold, max_bucket=max_bucket)
+    if cap_mode != "drop":
+        # only non-default modes enter the params JSON so ledgers written
+        # before cap_mode existed still match default runs (and shard
+        # mode yields the same pairs as uncapped, but a mode change still
+        # reruns the stage — boundedness provenance belongs in lineage)
+        pairs["cap_mode"] = cap_mode
     clusters = dict(pairs)
     selected = dict(clusters, token_band=list(token_band))
     return {
@@ -176,6 +183,7 @@ def run_selection(
     max_len: int = 400,
     token_band: Tuple[int, int] = (5, 1000),
     resume: bool = True,
+    cap_mode: str = "drop",
 ) -> SelectionResult:
     """Run (or resume) the staged selection job; returns the selected
     DataFrame read back from its staged parquet.
@@ -204,7 +212,8 @@ def run_selection(
     from localmod_spark.operators.validate import with_validity
 
     params = _stage_params(
-        threshold, num_hashes, shingle_k, bands, rows_per_band, max_bucket, max_len, token_band
+        threshold, num_hashes, shingle_k, bands, rows_per_band, max_bucket, max_len,
+        token_band, cap_mode,
     )
     # invalidation cascades: a stage whose input stage reruns must rerun
     # too, even if its own params row matches (its input data changed)
@@ -271,7 +280,9 @@ def run_selection(
         pairs = _read("pairs")
     else:
         obs = Observation("selection_bucket_cap") if max_bucket is not None else None
-        cands = candidates_from_bands(band_tbl, max_bucket=max_bucket, observation=obs)
+        cands = candidates_from_bands(
+            band_tbl, max_bucket=max_bucket, observation=obs, cap_mode=cap_mode
+        )
         pairs_df = (
             ngram_jaccard(valid, cands, n=shingle_k)
             .where(F.round("jaccard", 4) >= threshold)
@@ -400,6 +411,7 @@ def run_increment(
     threshold: Optional[float] = None,
     batch_id: Optional[str] = None,
     max_bucket: Optional[int] = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """Incremental ingest against a STAGED selection: dedup *new_docs*
     against the already-sketched corpus WITHOUT re-sketching it — the
@@ -504,7 +516,8 @@ def run_increment(
         sigs, bands=kw["bands"], rows_per_band=kw["rows_per_band"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
     within = ngram_jaccard(
-        new_valid, candidates_from_bands(batch_bands, max_bucket=max_bucket),
+        new_valid,
+        candidates_from_bands(batch_bands, max_bucket=max_bucket, cap_mode=cap_mode),
         n=kw["shingle_k"],
     ).where(F.round("jaccard", 4) >= threshold)
     reps = dup_clusters(new_valid, within.select("id_a", "id_b"))
@@ -514,7 +527,8 @@ def run_increment(
 
     survivors = cross_dedup_survivors(
         batch, corpus_docs, corpus_bands,
-        threshold=threshold, new_bands=batch_bands_kept, max_bucket=max_bucket, **kw,
+        threshold=threshold, new_bands=batch_bands_kept, max_bucket=max_bucket,
+        cap_mode=cap_mode, **kw,
     ).localCheckpoint()  # feeds two writes + the caller — compute once
     # atomic per-batch commit: overwrite subdirs, ledger row LAST
     survivors.write.mode("overwrite").parquet(

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="output directory (data/ _lineage/ _metrics/)")
     p.add_argument("--dedup-threshold", type=float, default=0.9, help="[select] jaccard keep threshold")
     p.add_argument("--max-bucket", type=int, default=None, help="[select] LSH giant-bucket cap (opt-in)")
+    p.add_argument(
+        "--cap-mode", choices=("drop", "shard"), default="drop",
+        help="[select] giant-bucket strategy: drop (bounded, recall loss) or "
+        "shard (bounded task size, zero dropped pairs)",
+    )
     p.add_argument("--waves", type=int, default=16, help="resume granularity (hash buckets of conv_id)")
     p.add_argument("--no-resume", action="store_true", help="ignore the lineage ledger")
     p.add_argument("--no-context", action="store_true", help="skip conversation-context features")
@@ -109,6 +114,7 @@ def main(argv=None) -> int:
             spark, docs, args.output,
             threshold=args.dedup_threshold,
             max_bucket=args.max_bucket,
+            cap_mode=args.cap_mode,
             resume=not args.no_resume,
         )
         print(
