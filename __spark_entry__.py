@@ -1181,6 +1181,60 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL (Lee et al. ACL'22's actual dedup action): cut every
+    flagged repeated 5-gram span out of each document — overlapping spans
+    merge via coverage, reconstruction keeps original token case, one
+    splice per doc.  Oracle = DuckDB list-comprehension recomputation of
+    the same coverage filter over the same flagged span set."""
+    from localmod_spark.operators.dedup import remove_repeated_spans
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_spans(docs, n=5, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "scrubbed_text",
+        F.col("n_flagged_spans").cast("long").alias("n_flagged_spans"),
+    )
+
+
+def _span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS ot
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) - {n - 2})) - 1 AS pos,
+                   unnest(list_transform(range(1, len(t) - {n - 2}), i -> {gram})) AS gram
+            FROM tk WHERE len(t) >= {n}
+        ),
+        freq AS (
+            SELECT gram FROM spans
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        ps AS (
+            SELECT doc_id, list_distinct(list(pos)) AS ps
+            FROM spans s JOIN freq f USING (gram) GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               coalesce(array_to_string(
+                   [ot[i] FOR i IN generate_series(1, len(ot))
+                    IF len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
+                                       p -> p <= i-1 AND i-1 < p + {n})) = 0],
+                   ' '), '') AS scrubbed_text,
+               CAST(coalesce(len(ps), 0) AS BIGINT) AS n_flagged_spans
+        FROM tk LEFT JOIN ps USING (doc_id)
+    """
+
+
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Every query's UDFs reference localmod_spark by module — ship the
     package to executors before building the plan."""
@@ -1233,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_topk": _shipped(_q_quant_topk),
         "knn_join": _shipped(_q_knn_join),
         "repeated_spans": _shipped(_q_repeated_spans),
+        "span_scrub": _shipped(_q_span_scrub),
         "eval_by_lang": _shipped(_q_eval_by_lang),
         "threshold_sweep": _shipped(_q_threshold_sweep),
         "token_budget": _shipped(_q_token_budget),
@@ -2321,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join": _knn_join_sql(),
         "repeated_spans": _repeated_spans_sql(),
+        "span_scrub": _span_scrub_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "eval_by_lang": _eval_by_lang_sql(),
         "threshold_sweep": _threshold_sweep_sql(),

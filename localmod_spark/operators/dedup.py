@@ -618,6 +618,61 @@ def repeated_spans(
     return spans.join(freq, key).select(id_col, "pos", "gram", "n_docs")
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: Optional[int] = None,
+    observation: Optional[Observation] = None,
+    spans: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Span REMOVAL — Lee et al. (ACL'22) don't just flag repeated
+    substrings, they cut them: emit ``scrubbed_text`` with every flagged
+    span excised.  Returns (id, scrubbed_text, n_flagged_spans).
+
+    A token at offset ``i`` is cut iff SOME flagged span covers it
+    (``∃ pos: pos ≤ i < pos+n``) — coverage over the span-start set, so
+    overlapping spans merge implicitly (no interval-merge pass needed);
+    the splice happens once per document, analogous to the PII scrub's
+    end→start byte splice.  Reconstruction keeps the ORIGINAL token case
+    and single-space joins (flagging tokenizes lowercase; positions map
+    1:1 because lowering never changes whitespace).
+
+    Shape: :func:`repeated_spans` (all-JVM) → per-doc span-start set
+    (one grouped ``collect_set`` — bounded by tokens-per-doc, never by
+    corpus size) → LEFT join back to the docs → an indexed ``transform``
+    + ``exists`` filter over the token array, still whole-stage-codegen
+    JVM.  ``spans`` (optional) accepts a precomputed/staged
+    :func:`repeated_spans` output so flag + cut pipelines pay the span
+    build once."""
+    flagged = (
+        spans
+        if spans is not None
+        else repeated_spans(
+            docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col,
+            max_df=max_df, observation=observation,
+        )
+    )
+    pos_tbl = flagged.groupBy(id_col).agg(F.collect_set("pos").alias("_span_pos"))
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    ps = F.coalesce(F.col("_span_pos"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(ps, lambda p: (p <= i) & (i < p + F.lit(n)))  # noqa: E731
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.when(covered(i), F.lit(None)).otherwise(x)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.join(pos_tbl, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("scrubbed_text"),
+            F.size(ps).alias("n_flagged_spans"),
+        )
+    )
+
+
 def cross_dedup_pairs(
     new_docs: DataFrame,
     corpus_bands: DataFrame,

@@ -471,3 +471,53 @@ def test_repeated_spans_hash_join_equals_string_join(spark):
     by_str = {tuple(r) for r in repeated_spans(docs, n=5).collect()}
     by_hash = {tuple(r) for r in repeated_spans(docs, n=5, join_on_hash=True).collect()}
     assert by_str == by_hash and by_str
+
+
+def test_span_scrub_cuts_boilerplate_and_converges(spark):
+    """remove_repeated_spans excises the shared footer from every doc
+    that carries it: the scrubbed corpus has NO repeated span left
+    (running the flagger on the cut text converges to empty), clean docs
+    pass through with whitespace-normalized text, and exact duplicates
+    collapse to identical (empty) scrubbed text."""
+    from localmod_spark.operators.dedup import remove_repeated_spans, repeated_spans
+
+    footer = "generated by the acme pipeline"
+    dup = "this exact document appears twice in the corpus verbatim"
+    rows = [
+        (0, "first document body text here " + footer),
+        (1, "a  different second   document " + footer),  # multi-space: normalize
+        (2, "totally unrelated clean content with no shared phrasing at all"),
+        (3, dup),
+        (4, dup),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=5, min_docs=2).collect()}
+    assert out[0].scrubbed_text == "first document body text here"
+    assert out[1].scrubbed_text == "a different second document"
+    assert out[2].scrubbed_text == rows[2][1] and out[2].n_flagged_spans == 0
+    # full-duplicate docs: every span flagged -> whole text cut, equal output
+    assert out[3].scrubbed_text == out[4].scrubbed_text == ""
+    assert out[3].n_flagged_spans == len(dup.split()) - 4
+    # convergence: the scrubbed corpus carries no repeated span anymore
+    scrubbed = spark.createDataFrame(
+        [(k, v.scrubbed_text) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert repeated_spans(scrubbed, n=5, min_docs=2).count() == 0
+
+
+def test_span_scrub_merges_overlapping_spans(spark):
+    """Overlapping flagged spans (a 7-token repeated run yields three
+    overlapping 5-gram spans) merge via coverage: the whole run is cut
+    exactly once, neighbours survive."""
+    from localmod_spark.operators.dedup import remove_repeated_spans
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens -> spans at 0,1,2
+    rows = [
+        (0, "keep1 " + run + " keep2"),
+        (1, run),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=5, min_docs=2).collect()}
+    assert out[0].scrubbed_text == "keep1 keep2"
+    assert out[1].scrubbed_text == ""
+    assert out[0].n_flagged_spans == 3  # three overlapping span starts
