@@ -193,15 +193,6 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from localmod_spark.operators.similarity import cosine_topk
-    from localmod_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    top = cosine_topk(emb, query_vec_id=0, k=10)
-    return top.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
-
-
 # --------------------------------------------------------------------------
 # Rows-only queries (CPython-re / sketch semantics; verified in tests/)
 # --------------------------------------------------------------------------
@@ -287,19 +278,6 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
-
-
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over MD5 token hashes — engine-independent hashing
-    so DuckDB recomputes the identical signature (bit-weight sums, sign
-    rule) in SQL.  The production operator defaults to 64-bit crc32-pair
-    hashing (same algorithm, faster); this query pins the narrow variant
-    the oracle can express."""
-    from localmod_spark.operators.dedup import with_simhash
-    from localmod_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return with_simhash(docs, bits=16, token_hash="md5").select("doc_id", "simhash")
 
 
 def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,21 +547,6 @@ def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal rollup: events per day — date functions + partial agg."""
-    from localmod_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.to_date("ts").cast("string").alias("day"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("day_value"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-        )
-    )
-
-
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: clickers EXCEPT big-purchasers, with the build side
     itself an INTERSECT.  (value > 100 keeps the result non-empty at every
@@ -600,34 +563,6 @@ def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.exceptAll(big_buyers.intersect(clickers)).select(
         F.col("user_id").cast("long").alias("user_id")
     )
-
-
-def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """exact_dedup's keep-set (min doc_id per distinct text, semi join)."""
-    from localmod_spark.operators.dedup import exact_dedup
-    from localmod_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs).select(F.col("doc_id").cast("long").alias("doc_id"))
-
-
-
-
-def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate nearest neighbors (probe 2 of 16 lists)."""
-    from localmod_spark.operators.similarity import ivf_topk, with_ivf_list
-    from localmod_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    listed = with_ivf_list(emb, dim=dim, n_lists=16)
-    return ivf_topk(listed, query_vec_id=0, k=10, n_probe=2, dim=dim, n_lists=16).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("ivf_list").cast("long").alias("ivf_list"),
-        "cosine",
-    )
-
-
 
 
 def _q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +983,60 @@ def _q_ivf_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall as a CI metric: join each approximate method's batched
+    top-k (LSH probe join / IVF list join) against the exact kNN join's
+    ground truth and emit per-method recall@k — one union + semi-join +
+    grouped aggregate, the same shape a production recall monitor runs
+    nightly over a sampled query set.  Non-vacuous by construction at
+    sf0.01 (at least one method recalls < 1 at k=5); the oracle
+    recomputes ALL THREE paths in DuckDB."""
+    from localmod_spark.operators.similarity import ann_join_topk, ivf_join_topk, knn_join
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    truth = knn_join(q, emb, k=5).select("query_id", "vec_id")
+    lsh = ann_join_topk(q, emb, dim=_EMB_DIM, k=5, n_planes=8, hamming=1).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id"
+    )
+    ivf = ivf_join_topk(q, emb, dim=_EMB_DIM, k=5, n_lists=16, n_probe=2).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id"
+    )
+    hits = (
+        lsh.unionByName(ivf)
+        .join(truth, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    total = truth.agg(F.count(F.lit(1)).alias("_n"))
+    return hits.crossJoin(total).select(
+        "method",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.col("_n"), 4).alias("recall_at_k"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+        WITH truth AS (SELECT query_id, vec_id FROM ({_knn_join_sql()})),
+        approx AS (
+            SELECT 'lsh' AS method, query_id, vec_id FROM ({_ann_join_topk_sql()})
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, vec_id FROM ({_ivf_join_topk_sql()})
+        ),
+        hits AS (
+            SELECT method, CAST(count(*) AS BIGINT) AS n_hits
+            FROM approx a JOIN truth t USING (query_id, vec_id)
+            GROUP BY method
+        )
+        SELECT method, n_hits,
+               round(n_hits / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
+                   AS recall_at_k
+        FROM hits
+    """
+
+
 def _q_eval_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dataset benchmark metric sweep (the reference harness's
     dataset-level evaluation shape, chi2025_benchmark.py:343-381): one
@@ -1063,48 +1052,6 @@ def _q_eval_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") < 250).alias("label"),
     )
     return grouped_metrics(pairs, ["lang"]).orderBy("lang")
-
-
-def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decision-threshold curve in ONE job: explode the threshold list
-    against each (score, label) row, partial-aggregate per threshold —
-    the tuning pass behind the reference's published operating points."""
-    from localmod_spark.operators.evaluate import threshold_sweep
-    from localmod_spark.operators.textstats import stopword_ratio_col
-    from localmod_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        stopword_ratio_col("text").alias("score"),
-        (F.col("n_chars") < 250).alias("label"),
-    )
-    return threshold_sweep(scored, (0.0, 0.05, 0.1, 0.2, 0.3))
-
-
-def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-ranked token-budget selection: per language, keep the
-    docs with the highest stop-word share (the quality proxy with a SQL
-    oracle) while the cumulative token count stays within 3000 — the
-    training-mixture builder's final cut, one window per group."""
-    from localmod_spark.operators.sampling import select_token_budget
-    from localmod_spark.operators.textstats import stopword_ratio_col, token_count_col
-    from localmod_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        token_count_col("text").cast("long").alias("n_tokens"),
-        stopword_ratio_col("text").alias("q"),
-    )
-    out = select_token_budget(
-        docs, budget=3000, order_by=(F.desc("q"), F.asc("doc_id")), group_cols=("lang",)
-    )
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "lang",
-        "n_tokens",
-        F.col("cum_tokens").cast("long").alias("cum_tokens"),
-    )
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,7 +1203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": _shipped(_q_user_activity),
         "repetition": _shipped(_q_repetition),
         "sessionize": _shipped(_q_sessionize),
-        "ann_topk": _shipped(_q_ann_topk),
         "pricing_summary": _shipped(_q_pricing_summary),
         "revenue_by_nation": _shipped(_q_revenue_by_nation),
         "bpe_token_count": _shipped(_q_bpe_token_count),
@@ -1265,7 +1211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _shipped(_q_embedding_dups),
         "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
-        "corpus_select": _shipped(_q_corpus_select),
         "corpus_select_best": _shipped(_q_corpus_select_best),
         "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
@@ -1273,9 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": _shipped(_q_rollup_stats),
         "inactive_users": _shipped(_q_inactive_users),
         "event_type_pivot": _shipped(_q_event_type_pivot),
-        "events_daily": _shipped(_q_events_daily),
         "set_ops": _shipped(_q_set_ops),
-        "dedup_survivors": _shipped(_q_dedup_survivors),
         "stratified_sample": _shipped(_q_stratified_sample),
         "conv_text_stats": _shipped(_q_conv_text_stats),
         "asof_click": _shipped(_q_asof_click),
@@ -1288,17 +1231,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _shipped(_q_knn_join),
         "repeated_spans": _shipped(_q_repeated_spans),
         "span_scrub": _shipped(_q_span_scrub),
+        "ann_recall": _shipped(_q_ann_recall),
         "eval_by_lang": _shipped(_q_eval_by_lang),
-        "threshold_sweep": _shipped(_q_threshold_sweep),
-        "token_budget": _shipped(_q_token_budget),
         "token_budget_scalable": _shipped(_q_token_budget_scalable),
         "incremental_dedup": _shipped(_q_incremental_dedup),
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
-        "simhash": _shipped(_q_simhash),
         "simhash_dups": _shipped(_q_simhash_dups),
         "lsh_topk": _shipped(_q_lsh_topk),
-        "ivf_topk": _shipped(_q_ivf_topk),
         "ann_join_topk": _shipped(_q_ann_join_topk),
         "ivf_join_topk": _shipped(_q_ivf_join_topk),
         "conv_context": _shipped(_q_conv_context),
@@ -1420,20 +1360,6 @@ def _eval_by_lang_sql() -> str:
         ),
         c AS ({_metrics_counts_sql('lang')})
         {_metrics_formula_sql('lang, ')} ORDER BY lang
-    """
-
-
-def _threshold_sweep_sql(thresholds=(0.0, 0.05, 0.1, 0.2, 0.3)) -> str:
-    tlist = "[" + ", ".join(repr(float(t)) for t in thresholds) + "]"
-    return f"""
-        WITH s AS (
-            SELECT {_stopword_expr_sql()} AS score, (n_chars < 250) AS label
-            FROM documents
-        ),
-        t AS (SELECT unnest({tlist}) AS threshold),
-        pairs AS (SELECT t.threshold, (s.score >= t.threshold) AS pred, s.label FROM s, t),
-        c AS ({_metrics_counts_sql('threshold')})
-        {_metrics_formula_sql('threshold, ')}
     """
 
 
@@ -1613,60 +1539,6 @@ def _lsh_embedding_dups_sql(threshold: float = 0.3, n_tables: int = 2) -> str:
     """
 
 
-def _ivf_topk_sql(n_lists: int = 16, seed: int = 23, n_probe: int = 2, k: int = 10) -> str:
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    cents = rng.randn(n_lists, _EMB_DIM)
-    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    scores = "[" + ", ".join(_sql_dot("embedding", cents[i]) for i in range(n_lists)) + "]"
-    return f"""
-        WITH s AS (SELECT vec_id, embedding, {scores} AS ls FROM embeddings),
-        assigned AS (
-            SELECT vec_id, embedding, ls,
-                   CAST(list_position(ls, list_max(ls)) - 1 AS BIGINT) AS ivf_list
-            FROM s
-        ),
-        q AS (SELECT embedding AS qvec, ls AS qls FROM assigned WHERE vec_id = 0),
-        probe AS (
-            SELECT CAST(i - 1 AS BIGINT) AS lix
-            FROM (SELECT unnest(qls) AS sc, unnest(range(1, {n_lists + 1})) AS i FROM q)
-            ORDER BY sc DESC, i ASC LIMIT {n_probe}
-        ),
-        cand AS (
-            SELECT a.vec_id, a.ivf_list,
-                   round({_sql_cos('a.embedding', 'q.qvec')}, 4) AS cosine
-            FROM assigned a, q
-            WHERE a.vec_id <> 0 AND a.ivf_list IN (SELECT lix FROM probe)
-        )
-        SELECT vec_id, ivf_list, cosine FROM cand
-        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
-    """
-
-
-def _simhash16_sql() -> str:
-    terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(h, x -> "
-        f"CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(16)
-    )
-    return f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-            FROM documents
-        ),
-        hs AS (
-            SELECT doc_id,
-                   list_transform(t, tok -> ('0x' || substr(md5(tok), 1, 16))::UBIGINT) AS h
-            FROM toks
-        )
-        SELECT doc_id,
-               CAST(CASE WHEN len(h) = 0 THEN 0 ELSE {terms} END AS BIGINT) AS simhash
-        FROM hs
-    """
-
-
 def _sql_gram_ctes(n: int = 3, src: str = "documents") -> str:
     """Shared CTEs: word n-grams per document (matches ngram_jaccard)."""
     return f"""toks AS (
@@ -1752,35 +1624,6 @@ def _dup_clusters_sql(n: int = 3, threshold: float = 0.9) -> str:
         )
         SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
         FROM cc GROUP BY v
-    """
-
-
-def _corpus_select_sql(n: int = 3, threshold: float = 0.9) -> str:
-    """The full selection composition in SQL: validity gate → all-pairs
-    jaccard edges among valid docs → transitive closure → cluster
-    representatives → token-count band."""
-    return f"""
-        WITH RECURSIVE docs_v AS (
-            SELECT doc_id, lang, text FROM documents
-            WHERE text IS NOT NULL AND trim(text) <> '' AND length(text) <= 400
-        ),
-        {_sql_gram_ctes(n, src="docs_v")},
-        edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
-        sym AS (SELECT id_a AS a, id_b AS b FROM edges
-                UNION SELECT id_b, id_a FROM edges),
-        cc(v, lbl) AS (
-            SELECT doc_id, doc_id FROM docs_v
-            UNION
-            SELECT s.a, c.lbl FROM cc c JOIN sym s ON s.b = c.v
-        ),
-        reps AS (
-            SELECT v FROM (SELECT v, min(lbl) AS lbl FROM cc GROUP BY v) WHERE v = lbl
-        )
-        SELECT doc_id, lang, n_tokens FROM (
-            SELECT d.doc_id, d.lang,
-                   CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
-            FROM docs_v d JOIN reps r ON d.doc_id = r.v
-        ) WHERE n_tokens BETWEEN 5 AND 1000
     """
 
 
@@ -2171,22 +2014,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
 
-        "events_daily": """
-            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS day_value,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM events GROUP BY 1
-        """,
         "set_ops": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
             EXCEPT
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND value > 100
-        """,
-        "dedup_survivors": """
-            SELECT doc_id FROM documents
-            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
@@ -2356,31 +2188,12 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 END AS BIGINT) AS n_frames_sampled
             FROM parsed
         """,
-        "ann_topk": """
-            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-            scored AS (
-                SELECT e.vec_id,
-                       round(
-                         list_sum(list_transform(list_zip(e.embedding, q.qvec),
-                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                         / (sqrt(list_sum(list_transform(e.embedding,
-                                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                            * sqrt(list_sum(list_transform(q.qvec,
-                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                         4) AS cosine
-                FROM embeddings e, q
-                WHERE e.vec_id <> 0
-            )
-            SELECT vec_id, cosine FROM scored
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
-        """,
         "knn_join": _knn_join_sql(),
         "repeated_spans": _repeated_spans_sql(),
         "span_scrub": _span_scrub_sql(),
+        "ann_recall": _ann_recall_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "eval_by_lang": _eval_by_lang_sql(),
-        "threshold_sweep": _threshold_sweep_sql(),
-        "token_budget": _token_budget_sql(),
         # the scalable variant returns IDENTICAL rows (prefix-closed prune
         # + same window) — same oracle, independent value check
         "token_budget_scalable": _token_budget_sql(),
@@ -2389,12 +2202,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_join_topk": _ivf_join_topk_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "lsh_embedding_dups": _lsh_embedding_dups_sql(),
-        "ivf_topk": _ivf_topk_sql(),
-        "simhash": _simhash16_sql(),
         "simhash_dups": _simhash64_dups_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),
         "dup_clusters": _dup_clusters_sql(),
-        "corpus_select": _corpus_select_sql(),
         "corpus_select_best": _corpus_select_best_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
         "quality": _quality_sql(),

@@ -153,11 +153,12 @@ def main() -> None:
     q = em.queries()
     for name in ("pricing_summary", "revenue_by_nation", "token_freq",
                  "pii_scrub", "sessionize", "media_features",
-                 "dup_clusters", "corpus_select", "lsh_topk",
+                 "dup_clusters", "corpus_select_best", "lsh_topk",
                  "asof_click", "greedy_pack",
                  "ann_join_topk", "knn_join", "repeated_spans",
-                 "ivf_join_topk", "token_budget", "incremental_dedup"):
-        cold = name in ("dup_clusters", "corpus_select")  # persist internally
+                 "ivf_join_topk", "token_budget_scalable", "incremental_dedup",
+                 "span_scrub", "ann_recall"):
+        cold = name in ("dup_clusters", "corpus_select_best")  # persist internally
         bench(name, lambda name=name: _force(q[name](spark, SF_DIR)), cold=cold)
 
     total = round(sum(timings.values()), 3)

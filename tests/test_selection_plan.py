@@ -16,9 +16,10 @@ def docs(spark):
 
 
 def test_selection_matches_interactive_composition(spark, docs, tmp_path):
-    """The staged job must produce exactly the oracled corpus_select
-    query's rows — staging is an execution strategy, not a semantics
-    change."""
+    """The staged job must produce exactly the interactive corpus_select
+    composition's rows (the min-id-representative path whose quality-
+    argmax variant corpus_select_best carries the registry's oracle) —
+    staging is an execution strategy, not a semantics change."""
     import __spark_entry__ as em
 
     out = str(tmp_path / "sel")
@@ -27,7 +28,7 @@ def test_selection_matches_interactive_composition(spark, docs, tmp_path):
     got = {(r.doc_id, r.lang, r.n_tokens) for r in res.selected.collect()}
     want = {
         (r.doc_id, r.lang, r.n_tokens)
-        for r in em.queries()["corpus_select"](spark, SF_DIR).collect()
+        for r in em._q_corpus_select(spark, SF_DIR).collect()
     }
     assert got == want and got
 
