@@ -119,6 +119,7 @@ def run_pipeline(
     salt_buckets: int = 16,
     stage: str = "persist",
     max_concurrent_waves: int = 1,
+    partition_by_day: bool = False,
 ) -> PipelineResult:
     """Score every turn, wave by wave, committing lineage as we go.
 
@@ -143,6 +144,15 @@ def run_pipeline(
     scheduler can fill task slots one wave alone would leave idle (small
     waves, write stalls).  Keep it modest: each in-flight wave holds its
     own shuffle/write buffers.
+
+    ``partition_by_day=True`` writes the output CONSUMER-shaped: each
+    wave's directory is sub-partitioned hive-style by ``day =
+    to_date(ts)`` — the Iceberg ``days(ts)`` partition transform's
+    filesystem analog, composed with the bucket(conv_id) wave layout.
+    Downstream readers filtering a date range then PRUNE day directories
+    instead of scanning the whole output (plan-asserted in
+    tests/test_plan_quality.py); resume semantics are unchanged because
+    the atomic unit is still the wave dir overwrite.
     """
     cfg = cfg or DEFAULT_CONFIG
     if stage not in ("persist", "write", "rescan"):
@@ -189,11 +199,12 @@ def run_pipeline(
         # rerun like dynamic partition overwrite, without its staging
         # commit cost.  The hive-style dir name keeps the dataset readable
         # as one wave-partitioned table.
-        (
-            observed.drop(WAVE_COL)
-            .write.mode("overwrite")
-            .parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
-        )
+        out_df = observed.drop(WAVE_COL)
+        writer = out_df.write.mode("overwrite")
+        if partition_by_day:
+            out_df = out_df.withColumn("day", F.to_date(F.col("ts")))
+            writer = out_df.write.mode("overwrite").partitionBy("day")
+        writer.parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
         obs_row = obs.get
         rows = int(obs_row.get("rows") or 0)
         finished = time.time()

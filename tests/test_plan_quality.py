@@ -281,3 +281,31 @@ def test_incremental_dedup_is_band_equi_join_plus_anti(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftAnti" in plan, plan
     assert "band_hash" in plan  # the band key really is the join key
+
+
+def test_partition_pruning_on_day_layout(spark, tmp_path):
+    """partition_by_day=True writes the consumer-shaped layout
+    (wave=N/day=D — the Iceberg days(ts) transform's filesystem analog):
+    a date-ranged read-back must PRUNE day directories, and resume
+    semantics stay unchanged (a rerun skips every wave)."""
+    from localmod_spark.plans.pipeline import read_output, run_pipeline
+
+    out = str(tmp_path / "piped")
+    turns = synth_transcripts(spark, 1200, slices=4)
+    res = run_pipeline(
+        spark, turns, out, n_waves=2, partition_by_day=True, context=False
+    )
+    assert sorted(res.waves_run) == [0, 1]
+    df = read_output(spark, out)
+    days = sorted(r.day for r in df.select("day").distinct().collect())
+    assert len(days) >= 2  # non-vacuous pruning target
+    one = df.where(F.col("day") == days[0])
+    plan = formatted(one.select("conv_id"))
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in line, plan
+    n_one, n_all = one.count(), df.count()
+    assert 0 < n_one < n_all
+    again = run_pipeline(
+        spark, turns, out, n_waves=2, partition_by_day=True, context=False
+    )
+    assert again.waves_run == [] and sorted(again.waves_skipped) == [0, 1]
