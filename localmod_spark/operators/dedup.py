@@ -17,28 +17,14 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-# Persisted sketch-stage tables registered here so long-lived sessions can
-# release them: the band-table persist (see minhash_candidates) must outlive
-# the caller's ACTION, so the operator cannot unpersist it itself — without
-# a release hook every candidates call in a long session accumulates
-# MEMORY_AND_DISK blocks.  bench.py clears the cache between repeats; any
-# other long-lived driver should call release_stage_caches() between jobs.
-_STAGE_CACHES: List[DataFrame] = []
-
-
-def release_stage_caches() -> int:
-    """Unpersist every sketch-stage table persisted by
-    :func:`minhash_candidates` / :func:`simhash_candidates` in this
-    session; returns how many were released."""
-    n = 0
-    while _STAGE_CACHES:
-        df = _STAGE_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # noqa: BLE001 — session may already be stopped
-            pass
-    return n
+# The sketch-stage persists (see minhash_candidates) must outlive the
+# caller's ACTION, so the operator cannot unpersist them itself — they go
+# through the session-scoped registry in localmod_spark.cache_registry
+# (re-exported here for compatibility with existing callers).
+from localmod_spark.cache_registry import (  # noqa: F401 — re-export
+    _STAGE_CACHES,
+    release_stage_caches,
+)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -288,33 +274,37 @@ def _wide_buckets(
     key_cols: list,
     max_bucket: int,
     observation: Optional[Observation],
-    id_count_col: Optional[str] = None,
 ) -> DataFrame:
     """Buckets wider than the cap, with their shard count:
     (key_cols…, _w, _k = ⌈w/max_bucket⌉) — the control table of shard
     mode.  Persisted (it is tiny — at most total_rows/max_bucket rows,
     in practice a handful of pathological buckets) because every shard
     plan consumes it from 2-3 branches; persisting also makes the
-    attached Observation's CollectMetrics execute exactly once.  Metrics:
-    ``sharded_buckets``, ``replica_rows`` (extra replicas the shard fan-
-    out creates on the replicated side, in DOUBLE — same overflow
-    rationale as ``_cap_metrics``), ``max_bucket_width``."""
+    attached Observation's CollectMetrics execute exactly once (it sits
+    below the cached node, on the single-consumer width aggregation).
+    Metrics — over ALL buckets, so ``max_bucket_width`` keeps reporting
+    the true maximum even when nothing exceeds the cap (parity with
+    drop mode's ``_cap_metrics``): ``sharded_buckets``,
+    ``replica_rows`` (extra replicas the shard fan-out creates on the
+    replicated side, in DOUBLE — same overflow rationale as
+    ``_cap_metrics``), ``max_bucket_width``."""
     from pyspark.storagelevel import StorageLevel
 
-    cnt = F.count(F.lit(1)) if id_count_col is None else F.count(F.col(id_count_col))
-    widths = exploded.groupBy(*key_cols).agg(cnt.alias("_w"))
-    wide = widths.where(F.col("_w") > max_bucket).withColumn(
-        "_k", F.ceil(F.col("_w") / F.lit(max_bucket)).cast("int")
-    )
+    widths = exploded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_w"))
     if observation is not None:
-        wide = wide.observe(
+        over = F.col("_w") > max_bucket
+        k = F.ceil(F.col("_w") / F.lit(max_bucket)).cast("double")
+        widths = widths.observe(
             observation,
-            F.count(F.lit(1)).alias("sharded_buckets"),
+            F.sum(over.cast("long")).alias("sharded_buckets"),
             F.sum(
-                F.col("_w").cast("double") * (F.col("_k").cast("double") - 1)
+                F.when(over, F.col("_w").cast("double") * (k - 1)).otherwise(F.lit(0.0))
             ).alias("replica_rows"),
             F.max("_w").alias("max_bucket_width"),
         )
+    wide = widths.where(F.col("_w") > max_bucket).withColumn(
+        "_k", F.ceil(F.col("_w") / F.lit(max_bucket)).cast("int")
+    )
     wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     _STAGE_CACHES.append(wide)
     return wide

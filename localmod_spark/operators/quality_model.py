@@ -71,9 +71,12 @@ def train_quality_classifier(
     Hadoop-FS URI (hdfs://, s3a://, file://); the artifact is KEPT (it is
     the caller's model registry entry) and the returned model is loaded
     back from it.  With the default ``None`` the roundtrip uses a
-    driver-local temp dir addressed with an explicit ``file://`` scheme —
-    NOT the cluster default FS, so it stays correct when
-    ``fs.defaultFS`` is HDFS/S3A — and removes it afterwards.
+    driver-local temp dir addressed with an explicit ``file://`` scheme
+    and removes it afterwards — this ASSUMES a local[*] master (Spark ML
+    writers save model parts from executor tasks, so on a multi-node
+    cluster a driver-local path would scatter parts across executor
+    disks); non-local masters must pass ``model_path`` on a shared
+    filesystem, enforced with a clear error.
 
     ``bigrams=True`` hashes word bigrams alongside the unigrams (the
     fastText n-gram trick — word order is what separates fluent prose
@@ -105,6 +108,14 @@ def train_quality_classifier(
     if model_path is not None:
         fitted.write().overwrite().save(model_path)
         return PipelineModel.load(model_path)
+    master = labeled.sparkSession.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            f"train_quality_classifier's default temp roundtrip assumes a local "
+            f"master (got {master!r}): ML save jobs write model parts from "
+            "executors, so a driver-local temp dir would scatter them across "
+            "nodes — pass model_path on a shared filesystem (hdfs://, s3a://)"
+        )
     local = os.path.join(tempfile.gettempdir(), f"quality_model_{uuid.uuid4().hex}")
     path = f"file://{local}"
     try:

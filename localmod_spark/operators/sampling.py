@@ -159,27 +159,31 @@ def select_token_budget_scalable(
     # is registered for release like the dedup sketch caches
     from pyspark.storagelevel import StorageLevel
 
-    from localmod_spark.operators.dedup import _STAGE_CACHES
+    from localmod_spark.cache_registry import register_stage_cache
 
-    bucketed = df.withColumn("_qb", bucket).persist(StorageLevel.MEMORY_AND_DISK)
-    _STAGE_CACHES.append(bucketed)
-    hist = (
-        bucketed.groupBy(*group_cols, "_qb")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
-        .collect()
+    bucketed = register_stage_cache(
+        df.withColumn("_qb", bucket).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the driver holds groups × n_buckets histogram rows — bounded by
-    # GROUP CARDINALITY, not data size; guard it so a caller who groups
-    # by a high-cardinality key (user_id...) fails loudly, not with an
-    # inscrutable driver OOM.  The intended granularity is language ×
-    # domain-shard (thousands of groups at most).
-    if len(hist) > 2_000_000:
+    hist_df = bucketed.groupBy(*group_cols, "_qb").agg(
+        F.sum(F.col(token_col).cast("long")).alias("_t")
+    )
+    # the driver-side bin walk holds groups × n_buckets histogram rows —
+    # bounded by GROUP CARDINALITY, not data size; probe the bound with a
+    # DISTRIBUTED count BEFORE collecting, so a caller who groups by a
+    # high-cardinality key (user_id...) fails loudly instead of OOMing
+    # the driver inside the collect.  The intended granularity is
+    # language × domain-shard (thousands of groups at most); the probe's
+    # second aggregation pass reads the persisted input.
+    _HIST_LIMIT = 2_000_000
+    n_cells = hist_df.limit(_HIST_LIMIT + 1).count()
+    if n_cells > _HIST_LIMIT:
         raise ValueError(
-            f"token-budget histogram has {len(hist)} (group, bin) rows — "
+            f"token-budget histogram exceeds {_HIST_LIMIT} (group, bin) rows — "
             f"group_cols={list(group_cols)} is too high-cardinality for the "
             "driver-side bin walk; group at language/domain granularity or "
             "reduce n_buckets"
         )
+    hist = hist_df.collect()
     _KEEP_ALL = -2  # sentinel below the null bin: every bin fits
     per_group: dict = {}
     for r in hist:

@@ -67,8 +67,16 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
-def completed_waves(spark: SparkSession, out_dir: str) -> set:
-    """Waves the ledger marks done.  Missing ledger = fresh run.
+def completed_waves(spark: SparkSession, out_dir: str, layout: str = "flat") -> set:
+    """Waves the ledger marks done WITH a matching output layout.
+
+    ``layout`` is part of the resume key: a wave written flat must not be
+    skipped by a ``partition_by_day`` rerun (its directory has no day=
+    partitions — a date-ranged consumer would break) and vice versa;
+    non-matching waves rerun and their dir overwrite restores a uniform
+    layout.  Rows from before layout tracking have no ``layout`` column
+    (mergeSchema null-fills them) and count as "flat".  Missing ledger =
+    fresh run.
 
     An *unreadable* ledger (corrupt page, partial file) is loudly warned
     about, not silently swallowed — otherwise resume degrades to full
@@ -80,9 +88,13 @@ def completed_waves(spark: SparkSession, out_dir: str) -> set:
     if not fs.exists(hpath):
         return set()
     try:
+        ledger = spark.read.option("mergeSchema", "true").parquet(path).where(
+            F.col("status") == "done"
+        )
+        if "layout" not in ledger.columns:
+            ledger = ledger.withColumn("layout", F.lit(None).cast("string"))
         rows = (
-            spark.read.parquet(path)
-            .where(F.col("status") == "done")
+            ledger.where(F.coalesce(F.col("layout"), F.lit("flat")) == layout)
             .select(WAVE_COL)
             .distinct()
             .collect()
@@ -170,7 +182,8 @@ def run_pipeline(
         staging_dir = os.path.join(out_dir, "_staging")
         staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
         staged = spark.read.parquet(staging_dir)
-    done = completed_waves(spark, out_dir) if resume else set()
+    layout = "day" if partition_by_day else "flat"
+    done = completed_waves(spark, out_dir, layout=layout) if resume else set()
     pending = [w for w in range(n_waves) if w not in done]
 
     def _run_wave(wave: int) -> int:
@@ -242,6 +255,7 @@ def run_pipeline(
                 "rows": rows,
                 "started": started,
                 "finished": finished,
+                "layout": layout,
             },
         )
         return rows

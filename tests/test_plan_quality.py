@@ -309,3 +309,25 @@ def test_partition_pruning_on_day_layout(spark, tmp_path):
         spark, turns, out, n_waves=2, partition_by_day=True, context=False
     )
     assert again.waves_run == [] and sorted(again.waves_skipped) == [0, 1]
+
+
+def test_layout_flip_invalidates_resume(spark, tmp_path):
+    """The output layout is part of the wave resume key: flipping
+    partition_by_day over an existing out_dir reruns every wave (the
+    overwrite restores a uniform layout) instead of skipping them and
+    leaving a flat/day mix a reader cannot partition-discover."""
+    from localmod_spark.plans.pipeline import read_output, run_pipeline
+
+    out = str(tmp_path / "piped")
+    turns = synth_transcripts(spark, 800, slices=4)
+    run_pipeline(spark, turns, out, n_waves=2, context=False)  # flat layout
+    res = run_pipeline(
+        spark, turns, out, n_waves=2, context=False, partition_by_day=True
+    )
+    assert sorted(res.waves_run) == [0, 1]
+    df = read_output(spark, out)
+    assert "day" in df.columns  # uniform day layout after the rerun
+    again = run_pipeline(
+        spark, turns, out, n_waves=2, context=False, partition_by_day=True
+    )
+    assert again.waves_run == [] and sorted(again.waves_skipped) == [0, 1]
