@@ -307,6 +307,14 @@ def _wide_buckets(
     )
     wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
     _STAGE_CACHES.append(wide)
+    if observation is not None:
+        # materialize the control table EAGERLY: when no bucket exceeds
+        # the cap, AQE's empty-relation propagation elides the downstream
+        # branches and the CollectMetrics node would never execute
+        # (Observation.get then raises) — the common healthy-corpus case.
+        # One tiny action on the persisted aggregate, and the metrics are
+        # guaranteed exactly once; the cache is warm for the join plan.
+        wide.count()
     return wide
 
 

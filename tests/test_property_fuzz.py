@@ -80,3 +80,35 @@ def test_frame_equals_scalar_on_fuzz(texts):
                 assert a == b or abs(a - b) < 1e-12, (k, t)
             else:
                 assert a == b, (k, t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_span_scrub_invariants(spark, texts):
+    """remove_repeated_spans invariants on arbitrary tiny-vocab corpora
+    (small alphabet maximizes shared n-grams): kept tokens are exactly
+    the original sequence minus flagged-span coverage (order preserved),
+    and n_flagged_spans equals the count of distinct flagged span starts.
+    (Full convergence is NOT an invariant — cutting can create new
+    adjacencies — so it is asserted only on the planted corpus test.)"""
+    from localmod_spark.operators.dedup import remove_repeated_spans, repeated_spans
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r.doc_id: set() for r in df.collect()}
+    for r in repeated_spans(df, n=n, min_docs=2).collect():
+        spans[r.doc_id].add(r.pos)
+    out = {r.doc_id: r for r in remove_repeated_spans(df, n=n, min_docs=2).collect()}
+    for i, t in rows:
+        toks = [x for x in t.strip().split() if x]
+        covered = {j for p in spans[i] for j in range(p, p + n)}
+        expect = " ".join(tok for j, tok in enumerate(toks) if j not in covered)
+        assert out[i].scrubbed_text == expect
+        assert out[i].n_flagged_spans == len(spans[i])

@@ -212,3 +212,20 @@ def test_selection_plan_accepts_shard_mode(spark, tmp_path):
     metrics = json.loads(ledger[0]["metrics"])
     assert metrics.get("sharded_buckets", 0) > 0
     assert "dropped_buckets" not in metrics
+
+
+def test_shard_mode_with_no_wide_buckets_is_plain_path(spark):
+    """cap_mode='shard' over a corpus where nothing exceeds the cap must
+    equal the uncapped join AND still report real observation values
+    (max_bucket_width from ALL buckets, zero sharded) — parity with drop
+    mode's metrics, not nulls."""
+    rows = [(i, 0, 100 + i % 7) for i in range(70)]  # widest bucket = 10
+    bands = _band_table(spark, rows)
+    obs = Observation("no_wide")
+    sharded = candidates_from_bands(bands, max_bucket=50, cap_mode="shard", observation=obs)
+    got = _pair_set(sharded)
+    assert got == _pair_set(candidates_from_bands(bands))
+    m = obs.get
+    assert m["sharded_buckets"] == 0
+    assert m["max_bucket_width"] == 10
+    assert m["replica_rows"] == 0.0
