@@ -183,6 +183,18 @@ def run_pipeline(
         staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
         staged = spark.read.parquet(staging_dir)
     layout = "day" if partition_by_day else "flat"
+    if partition_by_day and spark.conf.get(
+        "spark.sql.maxConcurrentOutputFileWriters", "0"
+    ) == "0":
+        # dynamic-partition parquet writes default to a per-task SORT on
+        # the partition column; under concurrent waves that sort
+        # exhausted execution memory at the 2M-turn scale check
+        # (SparkOutOfMemoryError: unable to acquire).  Concurrent output
+        # writers skip the sort — day cardinality is bounded by the
+        # dataset's time span, so 64 open writers per task is safe, and
+        # the 2M run completes in the flat layout's time.  Respected if
+        # the caller already set the conf.
+        spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "64")
     done = completed_waves(spark, out_dir, layout=layout) if resume else set()
     pending = [w for w in range(n_waves) if w not in done]
 

@@ -48,6 +48,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("--waves", type=int, default=16, help="resume granularity (hash buckets of conv_id)")
     p.add_argument("--no-resume", action="store_true", help="ignore the lineage ledger")
+    p.add_argument(
+        "--partition-by-day", action="store_true",
+        help="[moderate] sub-partition each wave's output by day=to_date(ts) "
+        "(the Iceberg days(ts) transform's filesystem analog; date-ranged "
+        "readers prune day directories)",
+    )
     p.add_argument("--no-context", action="store_true", help="skip conversation-context features")
     p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic turns instead of --input")
     p.add_argument("--classifiers", default=None, help="comma list; default all five")
@@ -156,6 +162,7 @@ def main(argv=None) -> int:
         cfg=cfg,
         context=not args.no_context,
         max_concurrent_waves=args.max_concurrent_waves,
+        partition_by_day=args.partition_by_day,
     )
     print(
         json.dumps(
