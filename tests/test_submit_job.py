@@ -60,3 +60,36 @@ def test_submit_job_selection_smoke_and_resume(tmp_path):
     assert second["stages_run"] == []
     assert second["selected_rows"] == first["selected_rows"]
     assert os.path.isdir(out + "/bands") and os.path.isdir(out + "/_lineage")
+
+
+@pytest.mark.slow
+def test_literal_spark_submit_py_files(tmp_path):
+    """The north rule's literal launch shape: `spark-submit --py-files
+    localmod_spark.zip plans/submit_job.py ...`.  spark-submit puts the
+    SCRIPT's directory (plans/), not the repo root, on the driver path,
+    so `import localmod_spark` resolves from the shipped ZIP — the same
+    artifact a cluster deployment distributes to executors."""
+    import shutil
+    import tempfile
+
+    import pyspark
+
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        pytest.skip("no spark-submit launcher in this pyspark install")
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), f"lm_pyfiles_{os.getpid()}"),
+        "zip", root_dir=REPO, base_dir="localmod_spark",
+    )
+    out = str(tmp_path / "submit_out")
+    p = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         SCRIPT, "--synthetic", "1000", "--output", out, "--waves", "2",
+         "--no-context"],
+        capture_output=True, text=True, timeout=420, cwd="/tmp",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["rows_written"] == 1000
+    assert sorted(summary["waves_run"]) == [0, 1]
+    assert os.path.isdir(out + "/data/wave=1") and os.path.isdir(out + "/_lineage")
