@@ -132,6 +132,7 @@ def run_pipeline(
     stage: str = "persist",
     max_concurrent_waves: int = 1,
     partition_by_day: bool = False,
+    max_concurrent_output_writers: Optional[int] = 64,
 ) -> PipelineResult:
     """Score every turn, wave by wave, committing lineage as we go.
 
@@ -170,6 +171,22 @@ def run_pipeline(
     if stage not in ("persist", "write", "rescan"):
         raise ValueError("stage must be 'persist', 'write' or 'rescan'")
 
+    _writers_key = "spark.sql.maxConcurrentOutputFileWriters"
+    _writers_prev = None
+    if partition_by_day and max_concurrent_output_writers:
+        # dynamic-partition parquet writes default to a per-task SORT on
+        # the partition column; under concurrent waves that sort
+        # exhausted execution memory at the 2M-turn scale check
+        # (SparkOutOfMemoryError: unable to acquire).  Concurrent output
+        # writers skip the sort — day cardinality is bounded by the
+        # dataset's time span, so 64 open writers per task is safe, and
+        # the 2M run completes in the flat layout's time.  The conf is
+        # session-global, so it is restored in the finally below; pass
+        # ``max_concurrent_output_writers=None`` to keep the sorted-write
+        # path instead.
+        _writers_prev = spark.conf.get(_writers_key)  # "0" is Spark's default
+        spark.conf.set(_writers_key, str(max_concurrent_output_writers))
+
     staged = with_wave(turns, n_waves)
     cleanup = None
     staging_dir = None
@@ -183,18 +200,6 @@ def run_pipeline(
         staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
         staged = spark.read.parquet(staging_dir)
     layout = "day" if partition_by_day else "flat"
-    if partition_by_day and spark.conf.get(
-        "spark.sql.maxConcurrentOutputFileWriters", "0"
-    ) == "0":
-        # dynamic-partition parquet writes default to a per-task SORT on
-        # the partition column; under concurrent waves that sort
-        # exhausted execution memory at the 2M-turn scale check
-        # (SparkOutOfMemoryError: unable to acquire).  Concurrent output
-        # writers skip the sort — day cardinality is bounded by the
-        # dataset's time span, so 64 open writers per task is safe, and
-        # the 2M run completes in the flat layout's time.  Respected if
-        # the caller already set the conf.
-        spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "64")
     done = completed_waves(spark, out_dir, layout=layout) if resume else set()
     pending = [w for w in range(n_waves) if w not in done]
 
@@ -298,6 +303,8 @@ def run_pipeline(
         # storage for the rest of the session
         if cleanup is not None:
             cleanup()
+        if _writers_prev is not None:
+            spark.conf.set(_writers_key, _writers_prev)
     if staging_dir is not None:
         # the staging copy is an internal intermediate: drop it once every
         # wave has committed (on failure it is kept — a resume re-stages,

@@ -80,15 +80,20 @@ def main(argv=None) -> int:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     # Executors need the package too when launched without --py-files
-    # (plain-script mode); mirrors __spark_entry__._ship_package.
-    import shutil
-    import tempfile
+    # (plain-script mode); mirrors __spark_entry__._ship_package.  When
+    # the script runs from OUTSIDE a repo checkout (the literal
+    # `spark-submit --py-files localmod_spark.zip submit_job.py` deploy
+    # shape) there is nothing to self-ship — the launcher already
+    # distributed the zip to driver and executors.
+    if os.path.isdir(os.path.join(_ROOT, "localmod_spark")):
+        import shutil
+        import tempfile
 
-    zip_path = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), f"localmod_spark_job_{os.getpid()}"),
-        "zip", root_dir=_ROOT, base_dir="localmod_spark",
-    )
-    spark.sparkContext.addPyFile(zip_path)
+        zip_path = shutil.make_archive(
+            os.path.join(tempfile.gettempdir(), f"localmod_spark_job_{os.getpid()}"),
+            "zip", root_dir=_ROOT, base_dir="localmod_spark",
+        )
+        spark.sparkContext.addPyFile(zip_path)
 
     from localmod_spark.kernel.aggregate import config_from_env
     from localmod_spark.plans.pipeline import run_pipeline

@@ -7,10 +7,12 @@ borrow idle cores:
 1. **Topology neutrality** — the SAME job, same 10 pinned cores:
    ``local[8]`` (one JVM) vs ``local-cluster[2,4,3072]`` (driver +
    cluster master/worker daemons + 2 REAL executor JVMs, package shipped
-   via addPyFile, cross-JVM shuffle for the context stage).  Measured
-   ratio ~= 1.00 (49.9k vs 50.0k turns/s in the round-5 run): splitting
-   the same cores across separate executor JVMs costs nothing at
-   realistic executor sizes, so the core-count scaling pairs in
+   via addPyFile, cross-JVM shuffle for the context stage).  Round-5
+   runs: ratio 1.06 / 0.90 / 1.57 across three replications (see
+   BENCH/BASELINE.md) — the swing is the box's documented bimodal
+   state, and the cluster side never measured below 0.90x of the
+   single JVM: no topology penalty detectable above box noise, so the
+   core-count scaling pairs in
    scaling_bench.py transfer to the multi-executor topology.
    (At unrealistically small 2-core executors, per-JVM fixed overhead
    does bite — 4x2-core executors measured ~0.66 of local[8]; real
@@ -43,20 +45,22 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 import pyspark
 os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 import __spark_entry__ as em
 from localmod_spark.operators.context import add_context
 from localmod_spark.operators.score import score_turns
+from localmod_spark.session import get_spark
 from localmod_spark.sources.transcripts import synth_transcripts
 
 master = {master!r}
 n_turns = {n_turns}
-spark = (SparkSession.builder.master(master)
-         .appName("cluster_scaling")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-         .config("spark.ui.enabled", "false").getOrCreate())
+# same session builder as scaling_bench.py (get_spark: Kryo, UTC, AQE,
+# arrow on) so cross-script throughput comparisons are apples-to-apples;
+# shuffle partitions scale with the job cores like the sibling script
+spark = get_spark(app_name="cluster_scaling", master=master,
+                  shuffle_partitions=max({job_cores}, 8),
+                  arrow_batch_rows=10000,
+                  extra_conf={{"spark.ui.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 em._ship_package(spark)  # separate executor JVMs: the package zip must ship
 turns = synth_transcripts(spark, n_turns, slices=24).persist()
@@ -80,8 +84,9 @@ spark.stop()
 """
 
 
-def run_at(master: str, n_cores: int, n_turns: int) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, master=master, n_turns=n_turns)
+def run_at(master: str, n_cores: int, n_turns: int, job_cores: int) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, master=master, n_turns=n_turns,
+                              job_cores=job_cores)
     cpus = ",".join(str(c) for c in range(n_cores))
     out = subprocess.run(
         ["taskset", "-c", cpus, sys.executable, "-c", code],
@@ -98,13 +103,13 @@ def run_at(master: str, n_cores: int, n_turns: int) -> dict:
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     # 1: topology neutrality — identical cores, one JVM vs real executors
-    one_jvm = run_at("local[8]", 10, n_turns)
-    two_exec = run_at("local-cluster[2,4,3072]", 10, n_turns)
+    one_jvm = run_at("local[8]", 10, n_turns, job_cores=8)
+    two_exec = run_at("local-cluster[2,4,3072]", 10, n_turns, job_cores=8)
     neutrality = round(two_exec["turns_per_sec"] / one_jvm["turns_per_sec"], 3)
     # 2: executor-count pair (1 -> 4 executors; big side crosses the
     # socket's bandwidth knee — see module docstring)
-    small = run_at("local-cluster[1,4,3072]", 6, n_turns)
-    big = run_at("local-cluster[4,4,3072]", 18, n_turns)
+    small = run_at("local-cluster[1,4,3072]", 6, n_turns, job_cores=4)
+    big = run_at("local-cluster[4,4,3072]", 18, n_turns, job_cores=16)
     eff = round(big["turns_per_sec"] / (4 * small["turns_per_sec"]), 3)
     print(json.dumps({
         "n_turns": n_turns,

@@ -50,7 +50,7 @@ assert members >= 3, f"expected 2 executor JVMs + driver, got {members}"
 assert len(lc) == 4000
 _, ref = run("local[2]")
 print("MEMBERS", members)
-print("MATCH" if lc == ref else "MISMATCH")
+print("RESULT_MATCH" if lc == ref else "RESULT_MISMATCH")
 """
 
 
@@ -60,7 +60,6 @@ def test_pipeline_matches_local_mode_on_real_executors():
         [sys.executable, "-c", _SCRIPT % {"repo": REPO}],
         capture_output=True, text=True, timeout=600, cwd="/tmp",
     )
-    assert "MATCH" in out.stdout, (
+    assert "RESULT_MATCH" in out.stdout and "RESULT_MISMATCH" not in out.stdout, (
         f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
     )
-    assert "MISMATCH" not in out.stdout

@@ -81,10 +81,16 @@ def test_literal_spark_submit_py_files(tmp_path):
         os.path.join(tempfile.gettempdir(), f"lm_pyfiles_{os.getpid()}"),
         "zip", root_dir=REPO, base_dir="localmod_spark",
     )
+    # submit a COPY of the entry script from outside the repo: submit_job
+    # falls back to inserting its own repo root on sys.path when it can
+    # see one (plain-python launches), which would mask a broken zip —
+    # from a bare temp dir the driver import can only come from --py-files
+    script = str(tmp_path / "submit_job.py")
+    shutil.copyfile(SCRIPT, script)
     out = str(tmp_path / "submit_out")
     p = subprocess.run(
         [spark_submit, "--master", "local[4]", "--py-files", zip_path,
-         SCRIPT, "--synthetic", "1000", "--output", out, "--waves", "2",
+         script, "--synthetic", "1000", "--output", out, "--waves", "2",
          "--no-context"],
         capture_output=True, text=True, timeout=420, cwd="/tmp",
     )
