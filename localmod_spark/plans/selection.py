@@ -313,7 +313,9 @@ def run_selection(
                 warnings.warn(
                     f"uncapped banding join: widest bucket has {widest} members "
                     f"(> {WIDE_BUCKET_WARN}) — the candidate join is quadratic within "
-                    "a bucket; pass max_bucket (and run exact_dedup upstream) at scale",
+                    "a bucket; at scale pass max_bucket with cap_mode='shard' "
+                    "(bounded task size, zero dropped pairs) or cap_mode='drop' "
+                    "(bounded total work, recall loss), and run exact_dedup upstream",
                     stacklevel=2,
                 )
             pairs = _commit(
