@@ -687,19 +687,27 @@ def _q_lsh_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language rate sampling (the training-mix knob):
-    keep-decision = md5-hash uniform of doc_id vs the stratum's rate —
-    reproducible across reruns/partitionings (checkpoint-resume safe),
-    shuffle-free, and engine-independent so DuckDB reproduces the exact
-    keep set."""
-    from localmod_spark.operators.sampling import sample_stratified
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mixture sampling (the mT5/CC-100
+    recipe): per-language keep rates ``r_l = T·n_l^(α−1)/Σ n^α`` derived
+    from the DATA (one grouped count, |langs| rows to the driver) —
+    α=0.5 up-weights low-resource languages — then the deterministic
+    md5-hash keep rule (reproducible across reruns/partitionings,
+    shuffle-free).  Rates are floor-truncated at 1e-6 on BOTH engines so
+    the literal the Spark plan embeds and the SQL-recomputed rate agree;
+    params keep every rate < 1 at the checked SFs (the water-filling
+    path for tiny strata is pytest-tested)."""
+    import math
+
+    from localmod_spark.operators.sampling import sample_stratified, temperature_rates
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = sample_stratified(
-        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
-    )
+    rates = {
+        k: math.floor(v * 1e6) / 1e6
+        for k, v in temperature_rates(docs, alpha=0.5, target_frac=0.3).items()
+    }
+    kept = sample_stratified(docs, rates, default_rate=0.0)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 
 
@@ -1219,7 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inactive_users": _shipped(_q_inactive_users),
         "event_type_pivot": _shipped(_q_event_type_pivot),
         "set_ops": _shipped(_q_set_ops),
-        "stratified_sample": _shipped(_q_stratified_sample),
+        "temperature_sample": _shipped(_q_temperature_sample),
         "conv_text_stats": _shipped(_q_conv_text_stats),
         "asof_click": _shipped(_q_asof_click),
         "interval_join": _shipped(_q_interval_join),
@@ -2020,14 +2028,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND value > 100
         """,
-        "stratified_sample": """
-            SELECT doc_id, lang FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        "temperature_sample": """
+            WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            t AS (SELECT sum(n) AS N, sum(pow(n, 0.5)) AS denom FROM c),
+            r AS (SELECT lang,
+                         floor(0.3 * t.N * pow(c.n, 0.5 - 1) / t.denom
+                               * 1000000) / 1000000 AS rate
+                  FROM c, t)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
                       / 4294967296.0
-                  < CASE lang WHEN 'en' THEN 0.5
-                              WHEN 'de' THEN 0.25
-                              WHEN 'fr' THEN 0.1
-                              ELSE 0.05 END
+                  < r.rate
         """,
         "conv_text_stats": """
             SELECT doc_id // 5 AS conv,

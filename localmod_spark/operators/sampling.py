@@ -59,6 +59,55 @@ def sample_stratified(
     return df.where(hash_uniform(F.col(id_col)) < rate)
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float = 0.3,
+    stratum_col: str = "lang",
+) -> dict:
+    """Per-stratum keep rates for TEMPERATURE-BASED mixture sampling —
+    the mT5/CC-100 recipe: the probability of drawing a document from
+    stratum ``l`` is ``p_l ∝ n_l^alpha`` (``alpha < 1`` up-weights
+    low-resource strata), so with a target of ``T = target_frac · N``
+    sampled rows the keep rate is ``r_l = T · n_l^(alpha-1) / Σ n^alpha``.
+
+    Rates above 1 are WATER-FILLED, not just clipped: a stratum whose
+    formula rate exceeds 1 is kept entirely and its mass re-distributed
+    over the remaining strata (iterating driver-side over the ≤ |strata|
+    fixings) — so the expected sample size stays ``T`` exactly, matching
+    the published recipe's behavior for tiny languages.
+
+    One grouped count (|strata| rows to the driver — languages/domains,
+    never data-sized); the returned dict feeds
+    :func:`sample_stratified`, so the keep decisions stay hash-
+    deterministic, shuffle-free and per-stratum independent."""
+    if not 0 < target_frac <= 1:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    budget = target_frac * total
+    rates = {k: 0.0 for k in counts}
+    free = dict(counts)
+    while free and budget > 0:
+        denom = sum(n ** alpha for n in free.values())
+        over = {
+            k for k, n in free.items() if budget * (n ** alpha) / denom >= n
+        }
+        if not over:
+            for k, n in free.items():
+                rates[k] = budget * (n ** (alpha - 1)) / denom
+            break
+        for k in over:  # kept entirely; redistribute their budget share
+            rates[k] = 1.0
+            budget -= free.pop(k)
+    return rates
+
+
 def split_train_holdout(
     df: DataFrame, holdout_rate: float = 0.01, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -95,3 +95,34 @@ def test_conv_text_feeds_conversation_dedup(spark):
         r.conv_id for r in exact_dedup(agg, text_col="conv_text", id_col="conv_id").collect()
     )
     assert survivors == ["a", "c"]  # b collapsed into a; c distinct by order
+
+
+def test_temperature_rates_recipe_and_waterfill(spark):
+    """mT5/CC-100 temperature mixture: alpha<1 up-weights small strata;
+    a stratum whose formula rate exceeds 1 is kept entirely with its
+    excess budget WATER-FILLED onto the rest, so the expected sample
+    size stays exactly target_frac x total."""
+    import pytest as _pt
+
+    from localmod_spark.operators.sampling import temperature_rates
+
+    rows = (
+        [(i, "big") for i in range(1000)]
+        + [(10_000 + i, "mid") for i in range(100)]
+        + [(20_000 + i, "tiny") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = temperature_rates(df, alpha=0.2, target_frac=0.5)
+    assert rates["tiny"] == 1.0  # formula rate > 1 -> kept entirely
+    assert rates["tiny"] >= rates["mid"] >= rates["big"]  # alpha<1 up-weights small
+    counts = {"big": 1000, "mid": 100, "tiny": 4}
+    expected = sum(rates[k] * n for k, n in counts.items())
+    assert expected == _pt.approx(0.5 * sum(counts.values()))  # water-filled, not clipped
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+
+    # alpha=1 degenerates to plain proportional sampling: uniform rates
+    uniform = temperature_rates(df, alpha=1.0, target_frac=0.25)
+    assert all(r == _pt.approx(0.25) for r in uniform.values())
+
+    with _pt.raises(ValueError, match="target_frac"):
+        temperature_rates(df, target_frac=0.0)
