@@ -171,6 +171,9 @@ def lsh_embedding_dups(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = None,
+    cap_mode: str = "drop",
+    observations=None,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the 100 TB path.
 
@@ -183,7 +186,23 @@ def lsh_embedding_dups(
     one of T independent tables with 1 - (1-p)^T.  Each table is its own
     equi-join (never an OR-join, which would degrade to a cartesian);
     candidate pairs are unioned and de-duplicated before the exact
-    cosine verification."""
+    cosine verification.
+
+    Giant buckets (degenerate boilerplate embeddings collapsing into one
+    signature) take the same two guards as every other banding self-join:
+    ``max_bucket`` with ``cap_mode="drop"`` (bounded, recall loss) or
+    ``"shard"`` (bounded task size, ZERO dropped pairs — the theta-join
+    cell decomposition of ``dedup._sharded_self_pair_rows``).
+    ``observations`` is a per-table sequence (an Observation binds to one
+    DataFrame, and each table has its own width aggregation)."""
+    from localmod_spark.operators.dedup import (
+        _cap_metrics,
+        _check_cap_mode,
+        _self_pair_rows,
+        _sharded_self_pair_rows,
+    )
+
+    _check_cap_mode(cap_mode)
     sigs = embeddings
     bucket_cols = []
     for t in range(n_tables):
@@ -193,10 +212,20 @@ def lsh_embedding_dups(
         bucket_cols.append(col)
     ids = sigs.select(F.col(id_col), *bucket_cols)
     cands = None
-    for col in bucket_cols:
-        a = ids.select(F.col(id_col).alias("id_a"), F.col(col).alias("_b"))
-        c = ids.select(F.col(id_col).alias("id_b"), F.col(col).alias("_b"))
-        p = a.join(c, "_b").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    for t, col in enumerate(bucket_cols):
+        tbl = ids.select(F.col(id_col), F.col(col).alias("_b"))
+        obs = observations[t] if observations is not None else None
+        if max_bucket is not None and cap_mode == "shard":
+            p = _sharded_self_pair_rows(tbl, ["_b"], id_col, max_bucket, obs)
+        else:
+            if max_bucket is not None:
+                widths = tbl.groupBy("_b").agg(F.count(F.lit(1)).alias("_w"))
+                if obs is not None:
+                    widths = widths.observe(obs, *_cap_metrics(max_bucket))
+                narrow = widths.where(F.col("_w") <= max_bucket).select("_b")
+                tbl = tbl.join(narrow, "_b", "left_semi")
+            p = _self_pair_rows(tbl, ["_b"], id_col)
+        p = p.select("id_a", "id_b")
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.dropDuplicates(["id_a", "id_b"])
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))

@@ -229,3 +229,30 @@ def test_shard_mode_with_no_wide_buckets_is_plain_path(spark):
     assert m["sharded_buckets"] == 0
     assert m["max_bucket_width"] == 10
     assert m["replica_rows"] == 0.0
+
+
+def test_lsh_embedding_dups_shard_keeps_all_pairs(spark):
+    """The embedding-LSH self-join gets the same giant-bucket guards:
+    50 duplicate vectors collapse into one signature bucket — shard mode
+    returns the full uncapped near-dup pair set, drop mode loses it."""
+    from localmod_spark.operators.similarity import lsh_embedding_dups
+
+    dim = 8
+    rows = [(i, [1.0, 0.5, -0.25, 0.0, 0.75, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows += [(100, [0.0, -1.0, 0.5, 0.25, 0.0, 0.1, 0.0, 0.2]),
+             (101, [0.0, -1.0, 0.5, 0.25, 0.0, 0.1, 0.0, 0.2])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=dim, threshold=0.99, n_planes=6)
+
+    def pairs(**extra):
+        return {
+            (r.id_a, r.id_b)
+            for r in lsh_embedding_dups(emb, **kw, **extra).collect()
+        }
+
+    uncapped = pairs()
+    sharded = pairs(max_bucket=10, cap_mode="shard")
+    dropped = pairs(max_bucket=10, cap_mode="drop")
+    assert sharded == uncapped
+    assert len(uncapped) == 50 * 49 // 2 + 1
+    assert dropped == {(100, 101)}
