@@ -353,3 +353,34 @@ def test_increment_refuses_pre_tracking_bands_with_clear_message(spark, docs, tm
     )
     with pytest.raises(ValueError, match="predates parameter tracking"):
         run_increment(spark, batch, out)
+
+
+def test_increment_shard_mode_matches_uncapped(spark, tmp_path):
+    """run_increment(cap_mode='shard') with a tiny cap must keep exactly
+    the uncapped increment's survivors — the cross-set AND within-batch
+    candidate joins both preserve recall under sharding."""
+    from localmod_spark.plans.selection import run_increment, run_selection
+
+    corpus_text = "the alpine meadow study spans decades of careful fieldwork records"
+    base = spark.createDataFrame(
+        [(0, "en", corpus_text),
+         (1, "en", "a completely different document about quarterly finance and audits")],
+        "doc_id long, lang string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "en", corpus_text),  # dup of the corpus -> rejected
+         (101, "en", "fresh report on harbor logistics and tide tables this season"),
+         (102, "en", "identical within batch document body repeated across the ingest"),
+         (103, "en", "identical within batch document body repeated across the ingest")],
+        "doc_id long, lang string, text string",
+    )
+
+    def survivors(cap_kw, sub):
+        out = str(tmp_path / sub)
+        run_selection(spark, base, out)
+        got = run_increment(spark, batch, out, batch_id="b1", **cap_kw)
+        return sorted(r.doc_id for r in got.collect())
+
+    uncapped = survivors({}, "a")
+    sharded = survivors({"max_bucket": 2, "cap_mode": "shard"}, "b")
+    assert sharded == uncapped == [101, 102]  # min-id rep survives the pair
