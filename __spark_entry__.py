@@ -703,10 +703,17 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    rates = {
-        k: math.floor(v * 1e6) / 1e6
-        for k, v in temperature_rates(docs, alpha=0.5, target_frac=0.3).items()
-    }
+    raw = temperature_rates(docs, alpha=0.5, target_frac=0.3)
+    if any(v >= 1.0 for v in raw.values()):
+        # the oracle SQL implements the UNCAPPED formula only — if a
+        # stratum ever water-fills at some SF, fail with the real reason
+        # instead of a confusing value-diff against the oracle
+        raise AssertionError(
+            f"temperature_sample params water-filled a stratum ({raw}); "
+            "the DuckDB oracle models the uncapped formula — adjust alpha/"
+            "target_frac for this data"
+        )
+    rates = {k: math.floor(v * 1e6) / 1e6 for k, v in raw.items()}
     kept = sample_stratified(docs, rates, default_rate=0.0)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 

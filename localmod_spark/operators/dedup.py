@@ -415,6 +415,34 @@ def _sharded_self_pair_rows(
     return normal_pairs.unionByName(wide_pairs)
 
 
+def _capped_self_pair_rows(
+    exploded: DataFrame,
+    key_cols: list,
+    id_col: str,
+    max_bucket: Optional[int],
+    observation: Optional[Observation],
+    cap_mode: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The ONE giant-bucket dispatch for every banding self-join
+    (MinHash bands, SimHash bands, embedding LSH buckets): uncapped
+    plain pairs, ``cap_mode="drop"`` (width semi-join prune + observed
+    ``_cap_metrics``), or ``cap_mode="shard"``
+    (:func:`_sharded_self_pair_rows`)."""
+    _check_cap_mode(cap_mode)
+    if max_bucket is not None and cap_mode == "shard":
+        return _sharded_self_pair_rows(
+            exploded, key_cols, id_col, max_bucket, observation, extra_cols
+        )
+    if max_bucket is not None:
+        widths = exploded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_w"))
+        if observation is not None:
+            widths = widths.observe(observation, *_cap_metrics(max_bucket))
+        narrow = widths.where(F.col("_w") <= max_bucket).select(*key_cols)
+        exploded = exploded.join(narrow, list(key_cols), "left_semi")
+    return _self_pair_rows(exploded, key_cols, id_col, extra_cols)
+
+
 def _cap_metrics(max_bucket: int) -> list:
     """Observation aggregates over the bucket-width table: how much the
     giant-bucket cap actually dropped (and how wide the worst bucket was).
@@ -451,22 +479,9 @@ def candidates_from_bands(
     cell (:func:`_sharded_self_pair_rows`) — ZERO dropped pairs, bounded
     task size, observed as sharded_buckets / replica_rows /
     max_bucket_width."""
-    _check_cap_mode(cap_mode)
-    keys = ["band_ix", "band_hash"]
-    if max_bucket is not None and cap_mode == "shard":
-        pair_rows = _sharded_self_pair_rows(
-            exploded, keys, id_col, max_bucket, observation
-        )
-    else:
-        if max_bucket is not None:
-            # width count shares the join's shuffle key; the semi join
-            # prunes pathological buckets before any pair is generated
-            widths = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_w"))
-            if observation is not None:
-                widths = widths.observe(observation, *_cap_metrics(max_bucket))
-            narrow = widths.where(F.col("_w") <= max_bucket).select(*keys)
-            exploded = exploded.join(narrow, keys, "left_semi")
-        pair_rows = _self_pair_rows(exploded, keys, id_col)
+    pair_rows = _capped_self_pair_rows(
+        exploded, ["band_ix", "band_hash"], id_col, max_bucket, observation, cap_mode
+    )
     return pair_rows.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_bands_shared")
     )
@@ -1136,20 +1151,10 @@ def simhash_candidates(
 
         exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
         _STAGE_CACHES.append(exploded)
-    _check_cap_mode(cap_mode)
-    keys = ["band_ix", "band_val"]
-    if max_bucket is not None and cap_mode == "shard":
-        pair_rows = _sharded_self_pair_rows(
-            exploded, keys, id_col, max_bucket, observation, extra_cols=(sim_col,)
-        )
-    else:
-        if max_bucket is not None:
-            widths = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_w"))
-            if observation is not None:
-                widths = widths.observe(observation, *_cap_metrics(max_bucket))
-            narrow = widths.where(F.col("_w") <= max_bucket).select(*keys)
-            exploded = exploded.join(narrow, keys, "left_semi")
-        pair_rows = _self_pair_rows(exploded, keys, id_col, extra_cols=(sim_col,))
+    pair_rows = _capped_self_pair_rows(
+        exploded, ["band_ix", "band_val"], id_col, max_bucket, observation,
+        cap_mode, extra_cols=(sim_col,),
+    )
     cands = pair_rows.dropDuplicates(["id_a", "id_b"])
     ham = F.bit_count(F.col(f"a_{sim_col}").bitwiseXOR(F.col(f"b_{sim_col}")))
     return (

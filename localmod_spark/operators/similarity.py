@@ -195,12 +195,7 @@ def lsh_embedding_dups(
     cell decomposition of ``dedup._sharded_self_pair_rows``).
     ``observations`` is a per-table sequence (an Observation binds to one
     DataFrame, and each table has its own width aggregation)."""
-    from localmod_spark.operators.dedup import (
-        _cap_metrics,
-        _check_cap_mode,
-        _self_pair_rows,
-        _sharded_self_pair_rows,
-    )
+    from localmod_spark.operators.dedup import _capped_self_pair_rows, _check_cap_mode
 
     _check_cap_mode(cap_mode)
     sigs = embeddings
@@ -215,17 +210,9 @@ def lsh_embedding_dups(
     for t, col in enumerate(bucket_cols):
         tbl = ids.select(F.col(id_col), F.col(col).alias("_b"))
         obs = observations[t] if observations is not None else None
-        if max_bucket is not None and cap_mode == "shard":
-            p = _sharded_self_pair_rows(tbl, ["_b"], id_col, max_bucket, obs)
-        else:
-            if max_bucket is not None:
-                widths = tbl.groupBy("_b").agg(F.count(F.lit(1)).alias("_w"))
-                if obs is not None:
-                    widths = widths.observe(obs, *_cap_metrics(max_bucket))
-                narrow = widths.where(F.col("_w") <= max_bucket).select("_b")
-                tbl = tbl.join(narrow, "_b", "left_semi")
-            p = _self_pair_rows(tbl, ["_b"], id_col)
-        p = p.select("id_a", "id_b")
+        p = _capped_self_pair_rows(
+            tbl, ["_b"], id_col, max_bucket, obs, cap_mode
+        ).select("id_a", "id_b")
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.dropDuplicates(["id_a", "id_b"])
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
