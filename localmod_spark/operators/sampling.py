@@ -87,12 +87,21 @@ def temperature_rates(
         r[stratum_col]: r["n"]
         for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    return waterfill_rates(counts, alpha, target_frac)
+
+
+def waterfill_rates(counts: Mapping[str, int], alpha: float, target_frac: float) -> dict:
+    """The pure water-filling math behind :func:`temperature_rates`
+    (separated so its invariants are property-testable without Spark):
+    rates ∈ [0, 1], Σ rate·n == target_frac·Σn exactly, and with
+    ``alpha ≤ 1`` smaller strata never get a lower rate than larger
+    ones."""
     total = sum(counts.values())
     if not total:
         return {}
     budget = target_frac * total
     rates = {k: 0.0 for k in counts}
-    free = dict(counts)
+    free = {k: n for k, n in counts.items() if n > 0}
     while free and budget > 0:
         denom = sum(n ** alpha for n in free.values())
         over = {

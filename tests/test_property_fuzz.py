@@ -148,3 +148,39 @@ def test_shard_mode_equals_uncapped_on_random_band_tables(spark, rows, max_bucke
         for r in candidates_from_bands(df, max_bucket=max_bucket, cap_mode="shard").collect()
     }
     assert shard == base
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+def test_waterfill_rates_invariants(counts, alpha, target_frac):
+    """Pure water-filling invariants for arbitrary stratum counts: every
+    rate in [0, 1]; the expected sample size equals target_frac x total
+    EXACTLY (water-filled, never clipped); with alpha <= 1 a smaller
+    stratum never gets a lower rate than a larger one."""
+    import pytest as _pt
+
+    from localmod_spark.operators.sampling import waterfill_rates
+
+    rates = waterfill_rates(counts, alpha, target_frac)
+    total = sum(counts.values())
+    if total == 0:
+        assert rates == {}
+        return
+    assert set(rates) == set(counts)
+    assert all(0.0 <= r <= 1.0 + 1e-12 for r in rates.values())
+    expected = sum(rates[k] * n for k, n in counts.items())
+    assert expected == _pt.approx(target_frac * total, rel=1e-9)
+    ks = [k for k, n in counts.items() if n > 0]
+    for a in ks:
+        for b in ks:
+            if counts[a] < counts[b]:
+                assert rates[a] >= rates[b] - 1e-12
