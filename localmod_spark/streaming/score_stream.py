@@ -91,3 +91,35 @@ def conv_flag_counts_stream(
             F.sum(F.col("pii_flagged").cast("long")).alias("n_pii_turns"),
         )
     )
+
+
+def write_scored_stream(
+    scored: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by_day: bool = False,
+    available_now: bool = True,
+):
+    """Checkpointed parquet file sink for the scored stream — emitting
+    the SAME consumer-shaped layout as the batch pipeline
+    (``day = to_date(ts)`` hive partitions when ``partition_by_day``), so
+    a downstream date-ranged reader prunes identically regardless of
+    which engine produced a partition.  The file sink's checkpoint +
+    transaction log give exactly-once file commits across restarts (the
+    streaming analog of the batch ledger).  ``available_now=True``
+    processes the current backlog and stops — the catch-up/batch-drain
+    mode; ``False`` runs continuously.  Returns the started query."""
+    df = scored
+    if partition_by_day:
+        df = df.withColumn("day", F.to_date(F.col("ts")))
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by_day:
+        w = w.partitionBy("day")
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

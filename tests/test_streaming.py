@@ -180,3 +180,46 @@ def test_dedup_stream_state_evicted_past_watermark(spark, tmp_path_factory):
     # store never holds all 120 keys at once
     assert removed > 0
     assert final_total < 120
+
+
+def test_stream_file_sink_day_layout_matches_batch(spark, stream_source_dir, tmp_path_factory):
+    """The streaming file sink emits the SAME consumer-shaped layout as
+    the batch pipeline (day=to_date(ts) partitions): a date-ranged
+    read-back prunes on the day column, rows equal the batch scoring of
+    the same input, and a second availableNow run is a checkpointed
+    no-op (exactly-once file commits, the streaming analog of the
+    batch ledger)."""
+    from localmod_spark.streaming import score_stream, write_scored_stream
+
+    out = str(tmp_path_factory.mktemp("stream_day_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_day_ckpt"))
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source_dir)
+    q = write_scored_stream(score_stream(stream), out, ckpt, partition_by_day=True)
+    q.awaitTermination(180)
+    df = spark.read.parquet(out)
+    days = sorted(r.day for r in df.select("day").distinct().collect())
+    assert len(days) >= 2
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df.where(F.col("day") == days[0]).select("conv_id")._jdf.queryExecution(),
+        "formatted",
+    )
+    line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in line, plan
+    got = {
+        (r.conv_id, r.turn_idx): (r.keep, r.scrubbed_text)
+        for r in df.select("conv_id", "turn_idx", "keep", "scrubbed_text").collect()
+    }
+    batch = {
+        (r.conv_id, r.turn_idx): (r.keep, r.scrubbed_text)
+        for r in score_turns(spark.read.parquet(stream_source_dir))
+        .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+        .collect()
+    }
+    assert got == batch and len(got) == 600
+    # restart with the same checkpoint: backlog already committed -> no-op
+    q2 = write_scored_stream(
+        score_stream(spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source_dir)),
+        out, ckpt, partition_by_day=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 600
