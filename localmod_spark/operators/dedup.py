@@ -264,9 +264,20 @@ def explode_minhash_bands(
     )
 
 
-def _check_cap_mode(cap_mode: str) -> None:
+_CAP_UNCHECKED = object()
+
+
+def _check_cap_mode(cap_mode: str, max_bucket: object = _CAP_UNCHECKED) -> None:
     if cap_mode not in ("drop", "shard"):
         raise ValueError(f"cap_mode must be 'drop' or 'shard', got {cap_mode!r}")
+    if max_bucket is None and cap_mode != "drop":
+        # without a width cap, every cap_mode degenerates to the uncapped
+        # plain join — a caller asking for bounded task size would
+        # silently get an unbounded quadratic self-join
+        raise ValueError(
+            "cap_mode='shard' has no effect without max_bucket; "
+            "pass max_bucket=<width cap> (or use the default cap_mode='drop')"
+        )
 
 
 def _wide_buckets(
@@ -429,7 +440,7 @@ def _capped_self_pair_rows(
     plain pairs, ``cap_mode="drop"`` (width semi-join prune + observed
     ``_cap_metrics``), or ``cap_mode="shard"``
     (:func:`_sharded_self_pair_rows`)."""
-    _check_cap_mode(cap_mode)
+    _check_cap_mode(cap_mode, max_bucket)
     if max_bucket is not None and cap_mode == "shard":
         return _sharded_self_pair_rows(
             exploded, key_cols, id_col, max_bucket, observation, extra_cols
@@ -736,7 +747,7 @@ def cross_dedup_pairs(
     replica_rows / max_bucket_width; replica_rows counts corpus-row
     magnitude, the batch-side fan-out is k× per probe of a wide
     bucket)."""
-    _check_cap_mode(cap_mode)
+    _check_cap_mode(cap_mode, max_bucket)
     if new_bands is None:
         sigs = with_minhash(
             new_docs,

@@ -197,7 +197,7 @@ def lsh_embedding_dups(
     DataFrame, and each table has its own width aggregation)."""
     from localmod_spark.operators.dedup import _capped_self_pair_rows, _check_cap_mode
 
-    _check_cap_mode(cap_mode)
+    _check_cap_mode(cap_mode, max_bucket)
     sigs = embeddings
     bucket_cols = []
     for t in range(n_tables):
@@ -536,7 +536,7 @@ def ann_join_topk(
     max_bucket_width."""
     from localmod_spark.operators.dedup import _check_cap_mode, _wide_buckets
 
-    _check_cap_mode(cap_mode)
+    _check_cap_mode(cap_mode, max_bucket)
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     corpus_b = with_lsh_bucket(corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)

@@ -187,99 +187,99 @@ def run_pipeline(
         _writers_prev = spark.conf.get(_writers_key)  # "0" is Spark's default
         spark.conf.set(_writers_key, str(max_concurrent_output_writers))
 
-    staged = with_wave(turns, n_waves)
     cleanup = None
     staging_dir = None
-    if stage == "persist":
-        from pyspark.storagelevel import StorageLevel
-
-        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
-        cleanup = staged.unpersist
-    elif stage == "write":
-        staging_dir = os.path.join(out_dir, "_staging")
-        staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
-        staged = spark.read.parquet(staging_dir)
-    layout = "day" if partition_by_day else "flat"
-    done = completed_waves(spark, out_dir, layout=layout) if resume else set()
-    pending = [w for w in range(n_waves) if w not in done]
-
-    def _run_wave(wave: int) -> int:
-        started = time.time()
-        # At Iceberg scale this filter is a partition-pruning predicate.
-        wave_df = staged.where(F.col(WAVE_COL) == wave)
-        scored = score_turns(wave_df, cfg=cfg)
-        if context:
-            scored = add_context(scored)
-
-        # observe() collects global counters in the same action as the
-        # write — no second pass over the data.
-        obs = Observation(f"wave_{wave}")
-        observed = scored.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("flagged").cast("long")).alias("flagged"),
-            F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
-            F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
-            F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
-            F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
-            F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
-            F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
-        )
-        # Plain overwrite of THIS wave's own directory: idempotent on
-        # rerun like dynamic partition overwrite, without its staging
-        # commit cost.  The hive-style dir name keeps the dataset readable
-        # as one wave-partitioned table.
-        out_df = observed.drop(WAVE_COL)
-        writer = out_df.write.mode("overwrite")
-        if partition_by_day:
-            out_df = out_df.withColumn("day", F.to_date(F.col("ts")))
-            writer = out_df.write.mode("overwrite").partitionBy("day")
-        writer.parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
-        obs_row = obs.get
-        rows = int(obs_row.get("rows") or 0)
-        finished = time.time()
-
-        def _m(key: str) -> int:
-            v = obs_row.get(key)
-            return int(v) if v is not None else 0
-
-        # Ledger rows are driver-side metadata (one row per wave) — append
-        # them directly with pyarrow instead of launching a Spark job per
-        # row.  At production scale this ledger is a catalog/Iceberg table;
-        # locally the dirs stay readable by spark.read.parquet.
-        _append_ledger_row(
-            spark,
-            _metrics_path(out_dir),
-            {
-                WAVE_COL: wave,
-                "turns": rows,
-                "flagged": _m("flagged"),
-                "pii_flagged": _m("pii"),
-                "tox_flagged": _m("tox"),
-                "inj_flagged": _m("inj"),
-                "spam_flagged": _m("spam"),
-                "nsfw_flagged": _m("nsfw"),
-                "redactions": _m("redactions"),
-                "wall_ms": round((finished - started) * 1000, 2),
-            },
-        )
-        _append_ledger_row(
-            spark,
-            _lineage_path(out_dir),
-            {
-                WAVE_COL: wave,
-                "status": "done",
-                "rows": rows,
-                "started": started,
-                "finished": finished,
-                "layout": layout,
-            },
-        )
-        return rows
-
     waves_run: List[int] = []
     total_rows = 0
     try:
+        staged = with_wave(turns, n_waves)
+        if stage == "persist":
+            from pyspark.storagelevel import StorageLevel
+
+            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup = staged.unpersist
+        elif stage == "write":
+            staging_dir = os.path.join(out_dir, "_staging")
+            staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
+            staged = spark.read.parquet(staging_dir)
+        layout = "day" if partition_by_day else "flat"
+        done = completed_waves(spark, out_dir, layout=layout) if resume else set()
+        pending = [w for w in range(n_waves) if w not in done]
+
+        def _run_wave(wave: int) -> int:
+            started = time.time()
+            # At Iceberg scale this filter is a partition-pruning predicate.
+            wave_df = staged.where(F.col(WAVE_COL) == wave)
+            scored = score_turns(wave_df, cfg=cfg)
+            if context:
+                scored = add_context(scored)
+
+            # observe() collects global counters in the same action as the
+            # write — no second pass over the data.
+            obs = Observation(f"wave_{wave}")
+            observed = scored.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("flagged").cast("long")).alias("flagged"),
+                F.sum(F.col("pii_flagged").cast("long")).alias("pii"),
+                F.sum(F.col("tox_flagged").cast("long")).alias("tox"),
+                F.sum(F.col("inj_flagged").cast("long")).alias("inj"),
+                F.sum(F.col("spam_flagged").cast("long")).alias("spam"),
+                F.sum(F.col("nsfw_flagged").cast("long")).alias("nsfw"),
+                F.sum(F.col("redaction_count").cast("long")).alias("redactions"),
+            )
+            # Plain overwrite of THIS wave's own directory: idempotent on
+            # rerun like dynamic partition overwrite, without its staging
+            # commit cost.  The hive-style dir name keeps the dataset readable
+            # as one wave-partitioned table.
+            out_df = observed.drop(WAVE_COL)
+            writer = out_df.write.mode("overwrite")
+            if partition_by_day:
+                out_df = out_df.withColumn("day", F.to_date(F.col("ts")))
+                writer = out_df.write.mode("overwrite").partitionBy("day")
+            writer.parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
+            obs_row = obs.get
+            rows = int(obs_row.get("rows") or 0)
+            finished = time.time()
+
+            def _m(key: str) -> int:
+                v = obs_row.get(key)
+                return int(v) if v is not None else 0
+
+            # Ledger rows are driver-side metadata (one row per wave) — append
+            # them directly with pyarrow instead of launching a Spark job per
+            # row.  At production scale this ledger is a catalog/Iceberg table;
+            # locally the dirs stay readable by spark.read.parquet.
+            _append_ledger_row(
+                spark,
+                _metrics_path(out_dir),
+                {
+                    WAVE_COL: wave,
+                    "turns": rows,
+                    "flagged": _m("flagged"),
+                    "pii_flagged": _m("pii"),
+                    "tox_flagged": _m("tox"),
+                    "inj_flagged": _m("inj"),
+                    "spam_flagged": _m("spam"),
+                    "nsfw_flagged": _m("nsfw"),
+                    "redactions": _m("redactions"),
+                    "wall_ms": round((finished - started) * 1000, 2),
+                },
+            )
+            _append_ledger_row(
+                spark,
+                _lineage_path(out_dir),
+                {
+                    WAVE_COL: wave,
+                    "status": "done",
+                    "rows": rows,
+                    "started": started,
+                    "finished": finished,
+                    "layout": layout,
+                },
+            )
+            return rows
+
         if max_concurrent_waves <= 1:
             for wave in pending:
                 total_rows += _run_wave(wave)
