@@ -374,6 +374,25 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE encoding (Sennrich ACL'16) over the pinned merges table —
+    a model parameter like the seeded LSH hyperplanes, so both engines
+    share one literal.  Spark side: batched pandas UDF applying the
+    leftmost-lowest-rank merge loop; oracle side: the identical loop as a
+    DuckDB recursive CTE (one merge application per recursion step) over
+    the distinct-word table, joined back in word order."""
+    from localmod_spark.operators.bpe import PINNED_MERGES, with_bpe_tokens
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = with_bpe_tokens(docs, PINNED_MERGES)
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_subwords"),
+        F.array_join("bpe_tokens", " ").alias("subwords"),
+    )
+
+
 def _q_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input validation columns (reference F1/F4 semantics)."""
     from localmod_spark.operators.validate import with_validity
@@ -432,26 +451,6 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token frequencies: explode → groupBy — the canonical
-    partial-aggregatable text shuffle (map-side combine collapses each
-    partition to its distinct tokens before the exchange)."""
-    from localmod_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    # testdata is one small parquet file → one input split; spread the
-    # explode across the cluster (a real table has many splits already)
-    par = spark.sparkContext.defaultParallelism
-    tokens = docs.select("text").repartition(par).select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    ).where(F.col("token") != "")
-    return (
-        tokens.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .where(F.col("n") >= 5)
-    )
 
 
 def _q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,6 +896,37 @@ def _q_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.col("vec_id").cast("long").alias("vec_id"), "cosine_q")
 
 
+def _q_single_vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query-vector ANN top-10 under two independent strategies in
+    one registry entry (the driver truncates at 50): multi-probe
+    hyperplane LSH and int8-quantized integer scoring — both previously
+    their own oracled queries, folded as a method-keyed union to free
+    slots for the r6 operators."""
+    lsh = _q_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", F.col("cosine").alias("score")
+    )
+    quant = _q_quant_topk(spark, sf_dir).select(
+        F.lit("int8").alias("method"), "vec_id", F.col("cosine_q").alias("score")
+    )
+    return lsh.unionByName(quant)
+
+
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: md5-keyed shard + within-shard
+    position — the full permutation is recomputed by the DuckDB oracle,
+    proving it depends on nothing but (id, seed, n_shards)."""
+    from localmod_spark.operators.shuffle import shuffle_shards
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=8, seed=42)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint verification (completeness, range share,
     value-set membership, exact uniqueness) — all conditional counts
@@ -1221,13 +1251,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _shipped(_q_pricing_summary),
         "revenue_by_nation": _shipped(_q_revenue_by_nation),
         "bpe_token_count": _shipped(_q_bpe_token_count),
+        "bpe_tokens": _shipped(_q_bpe_tokens),
         "validity": _shipped(_q_validity),
         "eval_metrics": _shipped(_q_eval_metrics),
         "embedding_dups": _shipped(_q_embedding_dups),
         "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
         "corpus_select_best": _shipped(_q_corpus_select_best),
-        "token_freq": _shipped(_q_token_freq),
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
         "rollup_stats": _shipped(_q_rollup_stats),
@@ -1242,7 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_pack": _shipped(_q_greedy_pack),
         "decontaminate": _shipped(_q_decontaminate),
         "quality_checks": _shipped(_q_quality_checks),
-        "quant_topk": _shipped(_q_quant_topk),
+        "single_vec_topk": _shipped(_q_single_vec_topk),
+        "shuffle_shards": _shipped(_q_shuffle_shards),
         "knn_join": _shipped(_q_knn_join),
         "repeated_spans": _shipped(_q_repeated_spans),
         "span_scrub": _shipped(_q_span_scrub),
@@ -1253,7 +1284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-checkable via generated oracles (seeded constants as literals)
         "minhash_dedup": _shipped(_q_minhash_dedup),
         "simhash_dups": _shipped(_q_simhash_dups),
-        "lsh_topk": _shipped(_q_lsh_topk),
         "ann_join_topk": _shipped(_q_ann_join_topk),
         "ivf_join_topk": _shipped(_q_ivf_join_topk),
         "conv_context": _shipped(_q_conv_context),
@@ -1316,6 +1346,58 @@ def _sql_lsh_bucket(vec_expr: str, n_planes: int = 8, seed: int = 11) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _bpe_tokens_sql() -> str:
+    """DuckDB replay of the pinned-merges BPE encode: per recursion step,
+    apply the lowest-rank applicable merge at its leftmost position —
+    exactly `operators/bpe.encode_word`.  Gotcha: DuckDB's
+    ``list_position`` returns 0 (not NULL) for absent elements, hence the
+    ``nullif(..., 0)``; recursion depth is bounded by max word length."""
+    from localmod_spark.operators.bpe import BPE_PRETOKEN_PATTERN, PINNED_MERGES
+
+    mkeys = "[" + ", ".join(f"'{a} {b}'" for a, b in PINNED_MERGES) + "]"
+    pat = BPE_PRETOKEN_PATTERN  # DuckDB literals pass `\s` to RE2 verbatim
+    return f"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id, unnest(generate_series(1, len(toks))) AS widx, unnest(toks) AS word
+          FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks FROM documents)
+        ),
+        init AS (SELECT DISTINCT word FROM words),
+        enc AS (
+          SELECT word, regexp_extract_all(word, '.') AS syms, 0 AS step FROM init
+          UNION ALL
+          SELECT word,
+                 syms[1:pos-1] || [syms[pos] || syms[pos+1]] || syms[pos+2:],
+                 step + 1
+          FROM (
+            SELECT word, syms, step, best, list_position(pranks, best) AS pos
+            FROM (
+              SELECT word, syms, step, pranks,
+                     list_min(list_filter(pranks, x -> x IS NOT NULL)) AS best
+              FROM (
+                SELECT word, syms, step,
+                       [nullif(list_position({mkeys}, syms[i] || ' ' || syms[i+1]), 0)
+                        FOR i IN generate_series(1, len(syms) - 1)] AS pranks
+                FROM enc)))
+          WHERE best IS NOT NULL
+        ),
+        final AS (
+          SELECT word, syms FROM (
+            SELECT word, syms,
+                   row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+            FROM enc)
+          WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sum(len(f.syms)), 0) AS BIGINT) AS n_subwords,
+               coalesce(string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY w.widx), '')
+                   AS subwords
+        FROM documents d
+        LEFT JOIN words w USING (doc_id)
+        LEFT JOIN final f ON w.word = f.word
+        GROUP BY d.doc_id
+    """
+
+
 def _lsh_topk_sql(k: int = 10) -> str:
     bucket = _sql_lsh_bucket("embedding")
     return f"""
@@ -1329,6 +1411,47 @@ def _lsh_topk_sql(k: int = 10) -> str:
               AND e.vec_id <> 0
         )
         SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _quant_topk_sql(k: int = 10) -> str:
+    return f"""
+            WITH qz AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+                FROM embeddings
+            ),
+            qv AS (
+                SELECT vec_id,
+                       CASE WHEN s = 0
+                            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) AS BIGINT))
+                       END AS q
+                FROM qz
+            ),
+            qq AS (SELECT q AS query_q FROM qv WHERE vec_id = 0),
+            scored AS (
+                SELECT v.vec_id,
+                       CAST(list_sum(list_transform(list_zip(v.q, qq.query_q),
+                                                    p -> p[1] * p[2])) AS DOUBLE)
+                       / (sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE))
+                          * sqrt(CAST(list_sum(list_transform(qq.query_q, x -> x * x)) AS DOUBLE)))
+                           AS raw
+                FROM qv v, qq WHERE v.vec_id <> 0
+            )
+            SELECT vec_id, round(raw, 4) AS cosine_q FROM scored
+            ORDER BY raw DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _single_vec_topk_sql() -> str:
+    """Union of the two single-vector ANN oracles, method-keyed — mirrors
+    `_q_single_vec_topk`'s fold of lsh_topk + quant_topk."""
+    return f"""
+        SELECT 'lsh' AS method, vec_id, cosine AS score FROM ({_lsh_topk_sql()})
+        UNION ALL
+        SELECT 'int8' AS method, vec_id, cosine_q AS score FROM ({_quant_topk_sql()})
     """
 
 
@@ -1984,12 +2107,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cosine >= 0.3
         """,
 
-        "token_freq": """
-            SELECT token, count(*) AS n
-            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
-                  FROM documents)
-            WHERE token <> '' GROUP BY token HAVING count(*) >= 5
-        """,
+        "bpe_tokens": _bpe_tokens_sql(),
         "topk_per_user": """
             SELECT user_id, event_id, rk FROM (
                 SELECT user_id, event_id,
@@ -2079,34 +2197,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.event_type = 'click'
               AND e.ts >= fp.fp_start AND e.ts <= fp.fp_start + INTERVAL 1 DAY
             GROUP BY e.user_id
-        """,
-        "quant_topk": """
-            WITH qz AS (
-                SELECT vec_id, embedding,
-                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
-                FROM embeddings
-            ),
-            qv AS (
-                SELECT vec_id,
-                       CASE WHEN s = 0
-                            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                            ELSE list_transform(embedding,
-                                 x -> CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) AS BIGINT))
-                       END AS q
-                FROM qz
-            ),
-            qq AS (SELECT q AS query_q FROM qv WHERE vec_id = 0),
-            scored AS (
-                SELECT v.vec_id,
-                       CAST(list_sum(list_transform(list_zip(v.q, qq.query_q),
-                                                    p -> p[1] * p[2])) AS DOUBLE)
-                       / (sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE))
-                          * sqrt(CAST(list_sum(list_transform(qq.query_q, x -> x * x)) AS DOUBLE)))
-                           AS raw
-                FROM qv v, qq WHERE v.vec_id <> 0
-            )
-            SELECT vec_id, round(raw, 4) AS cosine_q FROM scored
-            ORDER BY raw DESC, vec_id ASC LIMIT 10
         """,
         "quality_checks": """
             WITH m AS (
@@ -2219,7 +2309,21 @@ def oracle_sql() -> dict[str, str]:
         # generated oracles (seeded constants embedded as literals)
         "ann_join_topk": _ann_join_topk_sql(),
         "ivf_join_topk": _ivf_join_topk_sql(),
-        "lsh_topk": _lsh_topk_sql(),
+        "single_vec_topk": _single_vec_topk_sql(),
+        "shuffle_shards": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 17, 8))
+                          AS UBIGINT) % 8 AS shard,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))
+                          AS UBIGINT) AS skey
+              FROM documents)
+            SELECT doc_id,
+                   CAST(shard AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                        AS BIGINT) AS pos
+            FROM keyed
+        """,
         "lsh_embedding_dups": _lsh_embedding_dups_sql(),
         "simhash_dups": _simhash64_dups_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),

@@ -32,7 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only=None) -> int:
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -42,6 +42,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -88,4 +90,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    raise SystemExit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            # optional 2nd arg: comma-separated query names to spot-check
+            only=set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
