@@ -25,28 +25,64 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TURNS_PER_DOC = 40  # pipeline input size = 40 turns per document row
 
 
-def _wait_for_quiet(thresh: float = 4.0, max_wait_sec: int = 180) -> float:
-    """Contention guard: a concurrent Spark session on this box inflates
-    timings 2-13× (the round-2 recorded bench was exactly that artifact).
-    Wait for the 1-minute load average to drop below ``thresh`` before
-    measuring; if it never does, warn loudly on stderr and measure anyway
-    (the recorded loadavg lets a reader judge the run's trustworthiness)."""
-    t0 = time.time()
-    load1 = os.getloadavg()[0]
-    while load1 > thresh and time.time() - t0 < max_wait_sec:
+def wait_for_quiet(
+    load_thresh: float = 1.5,
+    max_wait_sec: float = 600.0,
+    probe_tps=None,
+    tps_floor: float = float(os.environ.get("SPARK_GRAFT_KERNEL_FLOOR", "9000")),
+    sleep_fn=time.sleep,
+    getload=os.getloadavg,
+) -> dict:
+    """Contention guard, upgraded from flag-after-the-fact to
+    WAIT-for-quiet: the r4/r5 official bench records were both taken on a
+    loaded box (a concurrent Spark session inflates timings 2-13×, and
+    the box's bimodal slow state can hide UNDER a load-average
+    threshold).  A quiet window needs BOTH signals green:
+
+      * ``load1 < load_thresh`` — nothing else is runnable, and
+      * the single-core kernel anchor probe at or above ``tps_floor``
+        (clean measures 13-14k texts/s; the documented bimodal slow mode
+        halves it, which load average cannot see).
+
+    Polls with exponential backoff (5 s → 60 s) up to ``max_wait_sec``
+    (default 10 min); if the box never goes quiet, returns with
+    ``quiet_at_start=False`` so the caller measures anyway and the
+    record keeps the suspect machinery + an explicit ``waited_sec``
+    proving the wait was attempted.  ``sleep_fn``/``getload``/
+    ``probe_tps`` are injectable for unit tests
+    (tests/test_bench_sanity.py)."""
+    waited = 0.0
+    delay = 5.0
+    probes = 0
+    while True:
+        load1 = float(getload()[0])
+        tps = float(probe_tps()) if probe_tps is not None else None
+        probes += 1
+        quiet = load1 < load_thresh and (tps is None or tps >= tps_floor)
+        if quiet or waited >= max_wait_sec:
+            if not quiet:
+                print(
+                    f"# bench: WARNING — no quiet window in {waited:.0f}s "
+                    f"(load1={load1:.1f}, kernel={tps and round(tps)}/s); "
+                    "measuring anyway — record stays suspect-checked",
+                    file=sys.stderr,
+                )
+            return {
+                "load1": round(load1, 2),
+                "waited_sec": round(waited, 1),
+                "quiet_at_start": bool(quiet),
+                "probe_tps": round(tps, 1) if tps is not None else None,
+                "probes": probes,
+            }
         print(
-            f"# bench: box busy (load1={load1:.1f} > {thresh}); waiting for quiet...",
+            f"# bench: box busy (load1={load1:.1f}"
+            + (f", kernel={round(tps)}/s<{round(tps_floor)}" if tps is not None else "")
+            + f"); waited {waited:.0f}s, sleeping {delay:.0f}s...",
             file=sys.stderr,
         )
-        time.sleep(10)
-        load1 = os.getloadavg()[0]
-    if load1 > thresh:
-        print(
-            f"# bench: WARNING — still busy after {max_wait_sec}s (load1={load1:.1f}); "
-            "timings may be contention-inflated",
-            file=sys.stderr,
-        )
-    return round(load1, 2)
+        sleep_fn(delay)
+        waited += delay
+        delay = min(delay * 2, 60.0)
 
 
 def _force(df) -> int:
@@ -116,7 +152,7 @@ def main() -> None:
     from localmod_spark.sources.tables import load_table
     from localmod_spark.sources.transcripts import synth_transcripts
 
-    load_before = _wait_for_quiet()
+    quiet = wait_for_quiet(probe_tps=lambda: measure_kernel_tps(n_texts=2000))
     kernel_tps = measure_kernel_tps()
 
     spark = get_spark(
@@ -176,6 +212,10 @@ def main() -> None:
 
     import statistics
 
+    # untimed warmup run matching bench()'s protocol: the 3 timed samples
+    # should measure steady-state variance only, not plan/codegen warmup
+    # (previously the first sample absorbed it and overstated bimodality)
+    _force(add_context(score_turns(turns)))
     flagship_runs = _flagship_runs()
     verdict = sanity_verdict(statistics.median(flagship_runs), n_turns, kernel_tps, CPUS)
     if verdict["suspect"]:
@@ -218,9 +258,9 @@ def main() -> None:
     import __spark_entry__ as em
 
     q = em.queries()
-    for name in ("pricing_summary", "revenue_by_nation", "token_freq",
+    for name in ("pricing_summary", "revenue_by_nation", "bpe_tokens",
                  "pii_scrub", "sessionize", "media_features",
-                 "dup_clusters", "corpus_select_best", "lsh_topk",
+                 "dup_clusters", "corpus_select_best", "single_vec_topk",
                  "asof_click", "greedy_pack",
                  "ann_join_topk", "knn_join", "repeated_spans",
                  "ivf_join_topk", "token_budget_scalable", "incremental_dedup",
@@ -253,7 +293,10 @@ def main() -> None:
                 "expected_flagship_sec": verdict["expected_flagship_sec"],
                 "suspect": verdict["suspect"],
                 "cpus": CPUS,
-                "load1_before": load_before,
+                "load1_before": quiet["load1"],
+                "waited_for_quiet_sec": quiet["waited_sec"],
+                "quiet_at_start": quiet["quiet_at_start"],
+                "kernel_probe_tps": quiet["probe_tps"],
                 "load1_after": round(os.getloadavg()[0], 2),
             }
         )
