@@ -418,7 +418,7 @@ def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classification_metrics(pairs)
 
 
-def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_embedding_dups_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.operators.similarity import embedding_near_dups
     from localmod_spark.sources.tables import load_table
 
@@ -428,6 +428,19 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
     )
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs under both strategies in one method-keyed
+    registry entry (50-entry driver cap): the exact all-pairs baseline
+    and the two-table hyperplane-LSH scale path."""
+    allp = _q_embedding_dups_allpairs(spark, sf_dir).select(
+        F.lit("allpairs").alias("method"), "id_a", "id_b", "cosine"
+    )
+    lsh = _q_lsh_embedding_dups(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cosine"
+    )
+    return allp.unionByName(lsh)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,6 +728,48 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = {k: math.floor(v * 1e6) / 1e6 for k, v in raw.items()}
     kept = sample_stratified(docs, rates, default_rate=0.0)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+# Shared between _q_mix_corpora and its oracle generator: under the
+# query's no-source-runs-dry guard, the water-filled budgets are a PURE
+# function of (weights, total), so the oracle embeds the exact float
+# budgets the Spark side computes (same arithmetic, same dict order).
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET = 8000.0
+
+
+def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source mixing to a total token budget (sources =
+    languages here): water-filled per-source budgets, deterministic
+    md5-shuffle order within each source, one window exchange.  The
+    oracle models the NO-DRY formula (budget = total·w/Σw), so the query
+    asserts no source saturates at this SF — the exhaustion/refill path
+    is pytest-covered (tests/test_mix_corpora.py)."""
+    from localmod_spark.operators.sampling import mix_corpora, waterfill_budgets
+    from localmod_spark.operators.textstats import token_count_col
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_col("text")
+    )
+    avail = {
+        r["lang"]: r["_t"]
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    budgets = waterfill_budgets(avail, _MIX_WEIGHTS, _MIX_BUDGET)
+    if any(budgets.get(s, 0.0) >= avail.get(s, 0) for s in _MIX_WEIGHTS):
+        raise AssertionError(
+            f"mix_corpora params saturate a source at this SF ({budgets} vs {avail}); "
+            "the DuckDB oracle models the no-dry formula — lower _MIX_BUDGET"
+        )
+    sel = mix_corpora(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, source_col="lang", token_col="n_tokens"
+    )
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
 
 
 def _q_conv_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,7 +1310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity": _shipped(_q_validity),
         "eval_metrics": _shipped(_q_eval_metrics),
         "embedding_dups": _shipped(_q_embedding_dups),
-        "lsh_embedding_dups": _shipped(_q_lsh_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
         "corpus_select_best": _shipped(_q_corpus_select_best),
         "topk_per_user": _shipped(_q_topk_per_user),
@@ -1265,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": _shipped(_q_event_type_pivot),
         "set_ops": _shipped(_q_set_ops),
         "temperature_sample": _shipped(_q_temperature_sample),
+        "mix_corpora": _shipped(_q_mix_corpora),
         "conv_text_stats": _shipped(_q_conv_text_stats),
         "asof_click": _shipped(_q_asof_click),
         "interval_join": _shipped(_q_interval_join),
@@ -1452,6 +1507,64 @@ def _single_vec_topk_sql() -> str:
         SELECT 'lsh' AS method, vec_id, cosine AS score FROM ({_lsh_topk_sql()})
         UNION ALL
         SELECT 'int8' AS method, vec_id, cosine_q AS score FROM ({_quant_topk_sql()})
+    """
+
+
+def _mix_corpora_sql() -> str:
+    """Budgets embedded as the EXACT doubles the Spark driver computes
+    (same dict order, same `remaining * w / wsum` expression — float sums
+    are order-sensitive, so the generator mirrors waterfill_budgets'
+    no-dry first iteration verbatim); both engines then compare integer
+    prefix sums against identical literals."""
+    free = {s: float(w) for s, w in _MIX_WEIGHTS.items() if w > 0}
+    wsum = sum(free.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN {_MIX_BUDGET * (w / wsum)!r}" for s, w in free.items()
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   / 4294967296.0 AS u
+          FROM documents),
+        cums AS (
+          SELECT doc_id, lang,
+                 sum(t) OVER (PARTITION BY lang ORDER BY u, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM toks)
+        SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
+        FROM cums
+        WHERE cum <= (CASE lang {cases} ELSE 0.0 END)
+    """
+
+
+def _allpairs_embedding_dups_sql() -> str:
+    return """
+            SELECT id_a, id_b, cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                         4) AS cosine
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
+    """
+
+
+def _embedding_dups_union_sql() -> str:
+    """Method-keyed union mirroring `_q_embedding_dups`'s fold of the
+    all-pairs baseline + the two-table LSH scale path."""
+    return f"""
+        SELECT 'allpairs' AS method, id_a, id_b, cosine
+        FROM ({_allpairs_embedding_dups_sql()})
+        UNION ALL
+        SELECT 'lsh' AS method, id_a, id_b, cosine
+        FROM ({_lsh_embedding_dups_sql()})
     """
 
 
@@ -2093,19 +2206,7 @@ def oracle_sql() -> dict[str, str]:
                        AS balanced_accuracy
             FROM c
         """,
-        "embedding_dups": """
-            SELECT id_a, id_b, cosine FROM (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       round(
-                         list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                         4) AS cosine
-                FROM embeddings a, embeddings b
-                WHERE a.vec_id < b.vec_id
-            ) WHERE cosine >= 0.3
-        """,
+        "embedding_dups": _embedding_dups_union_sql(),
 
         "bpe_tokens": _bpe_tokens_sql(),
         "topk_per_user": """
@@ -2310,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_join_topk": _ann_join_topk_sql(),
         "ivf_join_topk": _ivf_join_topk_sql(),
         "single_vec_topk": _single_vec_topk_sql(),
+        "mix_corpora": _mix_corpora_sql(),
         "shuffle_shards": """
             WITH keyed AS (
               SELECT doc_id,
@@ -2324,7 +2426,6 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pos
             FROM keyed
         """,
-        "lsh_embedding_dups": _lsh_embedding_dups_sql(),
         "simhash_dups": _simhash64_dups_sql(),
         "minhash_dedup": _minhash_jaccard_sql(),
         "dup_clusters": _dup_clusters_sql(),

@@ -117,6 +117,103 @@ def waterfill_rates(counts: Mapping[str, int], alpha: float, target_frac: float)
     return rates
 
 
+def waterfill_budgets(
+    avail: Mapping[str, int], weights: Mapping[str, float], total: float
+) -> dict:
+    """Per-source TOKEN budgets for weighted corpus mixing, water-filled
+    (the :func:`waterfill_rates` shape, over weights instead of a
+    temperature formula): start from ``b_s = total · w_s / Σw``; any
+    source whose budget exceeds its available tokens is taken whole and
+    its unmet share redistributed over the remaining sources
+    proportionally to THEIR weights, iterating (≤ |sources| fixings,
+    driver-side).  Invariants (property-tested): ``b_s ≤ avail_s``,
+    ``Σ b_s == min(total, Σ avail over weighted sources)``, and
+    unsaturated budgets stay exactly weight-proportional.
+
+    Sources with zero/negative weight or nothing available get 0 —
+    weighting a source out of the mix must not leak budget to it."""
+    budgets = {s: 0.0 for s in weights}
+    free = {s: float(w) for s, w in weights.items() if w > 0 and avail.get(s, 0) > 0}
+    remaining = float(total)
+    while free and remaining > 0:
+        wsum = sum(free.values())
+        # remaining * (w / wsum), NOT (remaining * w) / wsum: the share
+        # ratio is always in (0, 1], so the product cannot underflow for
+        # tiny absolute weights (the ratio form is also what the oracle
+        # generator replicates literally)
+        over = {s for s, w in free.items() if remaining * (w / wsum) >= avail[s]}
+        if not over:
+            for s, w in free.items():
+                budgets[s] = remaining * (w / wsum)
+            break
+        for s in over:  # source runs dry: take it whole, refill the rest
+            budgets[s] = float(avail[s])
+            remaining -= avail[s]
+            free.pop(s)
+    return budgets
+
+
+def mix_corpora(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    total_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_by=None,
+) -> DataFrame:
+    """Weighted multi-source mixing to an exact total token budget — the
+    training-mixture composer: given per-source weights and a corpus
+    with a token-count column, keep each source's deterministic-order
+    prefix whose cumulative tokens fit its water-filled share of the
+    budget.  Appends ``cum_tokens``.
+
+    Plan shape at 10^12 rows: one partial-aggregated grouped count
+    (|sources| rows to the driver — corpora/domains, never data-sized),
+    the driver water-fill, a broadcast join against the |sources|-row
+    budget table, and ONE window exchange on the source key.  Like
+    :func:`select_token_budget`, a source is its whole window partition —
+    keep sources at corpus/domain granularity, or pre-prune with
+    :func:`select_token_budget_scalable`'s histogram before the exact
+    cut.  Default order is the deterministic md5 shuffle order
+    (rerun/partitioning-stable, source-interleaved); pass ``order_by``
+    (ending with the id column) for quality-ranked mixing instead.
+
+    A source whose budget exceeds its stock is kept WHOLE and the
+    leftover re-spread over the other sources by weight — so the
+    selected total stays at ``total_budget`` (to within one document per
+    source) until the weighted corpus itself is exhausted."""
+    from pyspark.sql import Window
+
+    avail = {
+        r[source_col]: r["_t"]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .collect()
+    }
+    budgets = waterfill_budgets(avail, weights, total_budget)
+    if order_by is None:
+        order_by = (hash_uniform(F.col(id_col)).asc(), F.col(id_col).asc())
+    spark = df.sparkSession
+    stype = df.schema[source_col].dataType.simpleString()
+    bt = spark.createDataFrame(
+        [(s, float(b)) for s, b in budgets.items() if b > 0],
+        f"{source_col} {stype}, _budget double",
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.join(F.broadcast(bt), source_col)
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )
+
+
 def split_train_holdout(
     df: DataFrame, holdout_rate: float = 0.01, id_col: str = "doc_id"
 ) -> DataFrame:
