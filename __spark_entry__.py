@@ -1219,13 +1219,22 @@ def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = repeated_spans(docs, n=5, min_docs=2)
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("pos").cast("long").alias("pos"),
-        "gram",
-        F.col("n_docs").cast("long").alias("n_docs"),
-    )
+
+    def _sel(out, unit):
+        return out.select(
+            F.lit(unit).alias("unit"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+            "gram",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+
+    # one unit-keyed union entry: word 5-grams (lowercased tokens) + raw
+    # 30-char shingles — the char mode catches boilerplate straddling
+    # word boundaries, which word grams provably miss (tested)
+    word = _sel(repeated_spans(docs, n=5, min_docs=2), "word")
+    char = _sel(repeated_spans(docs, n=30, min_docs=2, unit="char"), "char")
+    return word.unionByName(char)
 
 
 def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,15 +1247,21 @@ def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = remove_repeated_spans(docs, n=5, min_docs=2)
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "scrubbed_text",
-        F.col("n_flagged_spans").cast("long").alias("n_flagged_spans"),
-    )
+
+    def _sel(out, unit):
+        return out.select(
+            F.lit(unit).alias("unit"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "scrubbed_text",
+            F.col("n_flagged_spans").cast("long").alias("n_flagged_spans"),
+        )
+
+    word = _sel(remove_repeated_spans(docs, n=5, min_docs=2), "word")
+    char = _sel(remove_repeated_spans(docs, n=30, min_docs=2, unit="char"), "char")
+    return word.unionByName(char)
 
 
-def _span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
+def _word_span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
     return f"""
         WITH tk AS (
@@ -1271,7 +1286,7 @@ def _span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
             SELECT doc_id, list_distinct(list(pos)) AS ps
             FROM spans s JOIN freq f USING (gram) GROUP BY doc_id
         )
-        SELECT tk.doc_id,
+        SELECT 'word' AS unit, tk.doc_id,
                coalesce(array_to_string(
                    [ot[i] FOR i IN generate_series(1, len(ot))
                     IF len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
@@ -1280,6 +1295,38 @@ def _span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
                CAST(coalesce(len(ps), 0) AS BIGINT) AS n_flagged_spans
         FROM tk LEFT JOIN ps USING (doc_id)
     """
+
+
+def _char_span_scrub_sql(n: int = 30, min_docs: int = 2) -> str:
+    """Char-mode cut: same coverage splice, over character positions of
+    the raw text (kept chars join with the empty separator)."""
+    return f"""
+        WITH {_char_spans_cte_sql(n)},
+        freq AS (
+            SELECT gram FROM spans
+            GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        ps AS (
+            SELECT doc_id, list_distinct(list(pos)) AS ps
+            FROM spans s JOIN freq f USING (gram) GROUP BY doc_id
+        )
+        SELECT 'char' AS unit, d.doc_id,
+               coalesce(array_to_string(
+                   [substr(d.text, CAST(i AS INT), 1)
+                    FOR i IN generate_series(1, length(d.text))
+                    IF len(list_filter(coalesce(ps, CAST([] AS BIGINT[])),
+                                       p -> p <= i-1 AND i-1 < p + {n})) = 0],
+                   ''), '') AS scrubbed_text,
+               CAST(coalesce(len(ps), 0) AS BIGINT) AS n_flagged_spans
+        FROM documents d LEFT JOIN ps USING (doc_id)
+    """
+
+
+def _span_scrub_sql() -> str:
+    return (
+        f"SELECT * FROM ({_word_span_scrub_sql()}) "
+        f"UNION ALL SELECT * FROM ({_char_span_scrub_sql()})"
+    )
 
 
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -1751,10 +1798,11 @@ def _incremental_dedup_sql(n: int = 3, threshold: float = 0.9) -> str:
     """
 
 
-def _repeated_spans_sql(n: int = 5, min_docs: int = 2) -> str:
+def _word_spans_cte_sql(n: int) -> str:
+    """Shared word-span CTE bodies (tokenized table `t` + span table)."""
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n)).replace("t[i+0]", "t[i]")
     return f"""
-        WITH t AS (
+        t AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                                x -> x <> '') AS t
@@ -1765,14 +1813,38 @@ def _repeated_spans_sql(n: int = 5, min_docs: int = 2) -> str:
                    unnest(range(1, len(t) - {n - 2})) - 1 AS pos,
                    unnest(list_transform(range(1, len(t) - {n - 2}), i -> {gram})) AS gram
             FROM t WHERE len(t) >= {n}
-        ),
+        )"""
+
+
+def _char_spans_cte_sql(n: int) -> str:
+    """Char-shingle span table over the RAW text (case-sensitive, no
+    whitespace normalization) — mirrors repeated_spans(unit='char')."""
+    return f"""
+        spans AS (
+            SELECT doc_id,
+                   unnest(range(1, length(text) - {n - 2})) - 1 AS pos,
+                   unnest(list_transform(range(1, length(text) - {n - 2}),
+                                         i -> substr(text, CAST(i AS INT), {n}))) AS gram
+            FROM documents WHERE length(text) >= {n}
+        )"""
+
+
+def _repeated_spans_one_sql(spans_cte: str, unit: str, min_docs: int) -> str:
+    return f"""
+        WITH {spans_cte},
         freq AS (
             SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM spans GROUP BY gram HAVING count(DISTINCT doc_id) >= {min_docs}
         )
-        SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram, f.n_docs
+        SELECT '{unit}' AS unit, s.doc_id, CAST(s.pos AS BIGINT) AS pos, s.gram, f.n_docs
         FROM spans s JOIN freq f USING (gram)
     """
+
+
+def _repeated_spans_sql(n_word: int = 5, n_char: int = 30, min_docs: int = 2) -> str:
+    word = _repeated_spans_one_sql(_word_spans_cte_sql(n_word), "word", min_docs)
+    char = _repeated_spans_one_sql(_char_spans_cte_sql(n_char), "char", min_docs)
+    return f"SELECT * FROM ({word}) UNION ALL SELECT * FROM ({char})"
 
 
 def _lsh_embedding_dups_sql(threshold: float = 0.3, n_tables: int = 2) -> str:

@@ -573,8 +573,9 @@ def repeated_spans(
     max_df: Optional[int] = None,
     observation: Optional[Observation] = None,
     join_on_hash: bool = False,
+    unit: str = "word",
 ) -> DataFrame:
-    """Substring-level exact dedup: flag every word-``n``-gram SPAN that
+    """Substring-level exact dedup: flag every ``n``-gram SPAN that
     occurs in at least ``min_docs`` distinct documents (Lee et al.,
     "Deduplicating Training Data Makes Language Models Better", ACL'22 —
     the repeated-substring mode that whole-doc exact + near dedup both
@@ -602,17 +603,45 @@ def repeated_spans(
     the span side), ~4-8× narrower shuffle keys.  A 64-bit collision
     would merge two grams' doc-frequencies (expected count ~n²/2^65 —
     negligible, and only ever OVER-counts n_docs); the string variant
-    stays the default because it is exactly SQL-oracle-reproducible."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
-    spans_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.struct(
-                i.alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("gram")
+    stays the default because it is exactly SQL-oracle-reproducible.
+
+    ``unit``: ``"word"`` (default) tokenizes lowercase and ``pos``/``n``
+    count whitespace tokens — the moderation-normalized variant.
+    ``"char"`` shingles the RAW text (Lee et al. actually operate on
+    byte streams): ``pos``/``n`` count characters, case-sensitive, no
+    whitespace normalization — the mode that catches boilerplate
+    STRADDLING word boundaries (markup, code, stitched templates), which
+    word grams provably miss (tested).  Char mode materializes
+    O(chars·n) gram bytes before the frequency cut — use a larger ``n``
+    (~4-6 words' worth) and the same ``max_df``/``join_on_hash`` escape
+    hatches at scale."""
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    empty = F.array().cast("array<struct<pos:int,gram:string>>")
+    if unit == "word":
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+        )
+        spans_arr = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    i.alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("gram")
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).otherwise(empty)
+    else:
+        txt = F.col(text_col)
+        spans_arr = F.when(
+            F.length(txt) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.length(txt) - n),
+                lambda i: F.struct(
+                    i.alias("pos"), txt.substr(i + F.lit(1), F.lit(n)).alias("gram")
+                ),
+            ),
+        ).otherwise(empty)
     # The span build is the CPU hot spot (O(tokens·n) slice+join per
     # position) and the doc table may arrive in few/one input split(s) —
     # spread it across the cluster before the projection; the exchange is
@@ -651,6 +680,7 @@ def remove_repeated_spans(
     max_df: Optional[int] = None,
     observation: Optional[Observation] = None,
     spans: Optional[DataFrame] = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Span REMOVAL — Lee et al. (ACL'22) don't just flag repeated
     substrings, they cut them: emit ``scrubbed_text`` with every flagged
@@ -670,17 +700,28 @@ def remove_repeated_spans(
     + ``exists`` filter over the token array, still whole-stage-codegen
     JVM.  ``spans`` (optional) accepts a precomputed/staged
     :func:`repeated_spans` output so flag + cut pipelines pay the span
-    build once."""
+    build once (it must have been built with the same ``unit``/``n``).
+
+    ``unit="char"`` cuts character spans from the RAW text (no
+    whitespace re-normalization — untouched bytes survive verbatim),
+    matching the char flagging mode."""
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     flagged = (
         spans
         if spans is not None
         else repeated_spans(
             docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col,
-            max_df=max_df, observation=observation,
+            max_df=max_df, observation=observation, unit=unit,
         )
     )
     pos_tbl = flagged.groupBy(id_col).agg(F.collect_set("pos").alias("_span_pos"))
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    if unit == "word":
+        toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+        joiner = " "
+    else:
+        toks = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+        joiner = ""
     ps = F.coalesce(F.col("_span_pos"), F.array().cast("array<int>"))
     covered = lambda i: F.exists(ps, lambda p: (p <= i) & (i < p + F.lit(n)))  # noqa: E731
     kept = F.filter(
@@ -691,7 +732,7 @@ def remove_repeated_spans(
         docs.join(pos_tbl, id_col, "left")
         .select(
             F.col(id_col),
-            F.array_join(kept, " ").alias("scrubbed_text"),
+            F.array_join(kept, joiner).alias("scrubbed_text"),
             F.size(ps).alias("n_flagged_spans"),
         )
     )

@@ -521,3 +521,94 @@ def test_span_scrub_merges_overlapping_spans(spark):
     assert out[0].scrubbed_text == "keep1 keep2"
     assert out[1].scrubbed_text == ""
     assert out[0].n_flagged_spans == 3  # three overlapping span starts
+
+
+# ---- char-shingle span mode (unit="char") ----
+
+
+def _ref_char_scrub(texts: dict, n: int, min_docs: int = 2) -> dict:
+    """Python reference for the char-mode flag+cut (raw text, coverage
+    splice) — the same semantics the DuckDB oracle replays."""
+    docs_of: dict = {}
+    for d, t in texts.items():
+        for i in range(len(t) - n + 1):
+            docs_of.setdefault(t[i : i + n], set()).add(d)
+    out = {}
+    for d, t in texts.items():
+        ps = {
+            i
+            for i in range(len(t) - n + 1)
+            if len(docs_of[t[i : i + n]]) >= min_docs
+        }
+        kept = [c for i, c in enumerate(t) if not any(p <= i < p + n for p in ps)]
+        out[d] = ("".join(kept), len(ps))
+    return out
+
+
+def test_char_mode_catches_cross_word_boundary_boilerplate(spark):
+    """The r6 motivation: boilerplate straddling word boundaries.  The
+    shared substring 'foo bar' sits INSIDE differing words, so no word
+    n-gram repeats at ANY n — word mode provably finds nothing, char
+    mode flags it."""
+    from localmod_spark.operators.dedup import repeated_spans
+
+    rows = [(0, "xxfoo baryy"), (1, "zzfoo barww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_word in (1, 2):
+        assert repeated_spans(df, n=n_word, min_docs=2).count() == 0
+    got = repeated_spans(df, n=7, min_docs=2, unit="char").collect()
+    assert {(r.doc_id, r.pos, r.gram) for r in got} == {
+        (0, 2, "foo bar"),
+        (1, 2, "foo bar"),
+    }
+    assert all(r.n_docs == 2 for r in got)
+
+
+def test_char_scrub_matches_python_reference(spark):
+    from localmod_spark.operators.dedup import remove_repeated_spans
+
+    texts = {
+        0: "xxfoo baryy tail one",
+        1: "zzfoo barww tail two",
+        2: "Foo bar is CASE sensitive here",  # no lowercase folding
+        3: "totally unrelated content",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    want = _ref_char_scrub(texts, n=7, min_docs=2)
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_flagged_spans)
+        for r in remove_repeated_spans(df, n=7, min_docs=2, unit="char").collect()
+    }
+    assert got == want
+    # case-sensitivity: 'Foo bar' must NOT match 'foo bar'
+    assert got[2][0] == texts[2]
+
+
+def test_char_scrub_preserves_untouched_bytes(spark):
+    """Char mode never re-normalizes whitespace: bytes outside cut spans
+    survive verbatim (word mode single-space-joins by design)."""
+    from localmod_spark.operators.dedup import remove_repeated_spans
+
+    rows = [(0, "keep  double  space GLUEDBOILERPLATE"),
+            (1, "other  doc text too GLUEDBOILERPLATE")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.scrubbed_text
+        for r in remove_repeated_spans(df, n=16, min_docs=2, unit="char").collect()
+    }
+    # the shared 16-grams include the space before the boilerplate, so
+    # the cut takes it too; the double spaces survive verbatim
+    assert out[0] == "keep  double  space"
+    assert out[1] == "other  doc text too"
+
+
+def test_span_unit_rejects_unknown(spark):
+    import pytest as _pt
+
+    from localmod_spark.operators.dedup import remove_repeated_spans, repeated_spans
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        repeated_spans(df, unit="byte")
+    with _pt.raises(ValueError):
+        remove_repeated_spans(df, unit="byte")
