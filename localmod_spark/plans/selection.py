@@ -80,6 +80,69 @@ def _ledger_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
+def compact_ledger(spark: SparkSession, out_dir: str, min_parts: int = 64) -> int:
+    """Idempotent ledger compaction: the append path lands ONE parquet
+    file per row, so a year of daily increments = hundreds of tiny files
+    whose footers every resume re-lists and re-merges.  When the dir has
+    ``min_parts``+ data files, rewrite the snapshot into one
+    mergeSchema-unioned file.  Returns the number of files compacted
+    (0 = below threshold / no ledger).
+
+    Crash-safe by the same last-write-wins discipline as the appends —
+    every intermediate state reads correctly:
+
+      * the compacted file lands via an atomic same-FS rename (written
+        to a side dir first, so no truncated part is ever listable);
+      * a crash BETWEEN the rename and the snapshot deletes leaves
+        duplicate rows — harmless to every ledger consumer (resume and
+        param lookup take the LATEST row per stage; increment idempotency
+        checks row existence) and converged by the next compaction;
+      * rows appended concurrently are not in the snapshot and are
+        neither rewritten nor deleted."""
+    path = _ledger_path(out_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    snapshot = [
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.isFile()
+        and st.getPath().getName().endswith(".parquet")
+        and not st.getPath().getName().startswith((".", "_"))
+    ]
+    if len(snapshot) < min_parts:
+        return 0
+    import uuid
+
+    jvm = spark._jvm
+    tmp_dir = f"{path}_compact_{uuid.uuid4().hex}"
+    # Spark (not pandas) does the rewrite: mergeSchema's unioned types
+    # survive exactly — a pandas round-trip would widen null-filled int
+    # columns to float and the next mergeSchema read would refuse to
+    # union the mixed footers.
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[p.toString() for p in snapshot]
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    _, htmp = _hadoop_fs(spark, tmp_dir)
+    parts = [
+        st.getPath()
+        for st in fs.listStatus(htmp)
+        if st.getPath().getName().startswith("part-")
+    ]
+    if len(parts) != 1:  # pragma: no cover — coalesce(1) contract
+        raise IOError(f"expected 1 compacted part in {tmp_dir}, found {len(parts)}")
+    final = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"compact-{uuid.uuid4().hex}.parquet")
+    )
+    if not fs.rename(parts[0], final):
+        raise IOError(f"ledger compaction rename failed: {parts[0]} -> {final}")
+    for p in snapshot:
+        fs.delete(p, False)
+    fs.delete(htmp, True)
+    return len(snapshot)
+
+
 def _stage_params(
     threshold: float,
     num_hashes: int,
@@ -414,6 +477,7 @@ def run_increment(
     batch_id: Optional[str] = None,
     max_bucket: Optional[int] = None,
     cap_mode: str = "drop",
+    compact_after: Optional[int] = 64,
 ) -> DataFrame:
     """Incremental ingest against a STAGED selection: dedup *new_docs*
     against the already-sketched corpus WITHOUT re-sketching it — the
@@ -441,6 +505,10 @@ def run_increment(
       ``batch_id`` to get idempotent retries; the default is a fresh
       uuid).  Base stages stay immutable → ``run_selection`` resume
       semantics untouched.
+
+    ``compact_after``: once the lineage ledger exceeds this many part
+    files, it is compacted to one (see :func:`compact_ledger`); ``None``
+    disables.
 
     Returns the survivors (doc_id, lang, text)."""
     import uuid
@@ -556,4 +624,8 @@ def run_increment(
             "batch_id": batch_id,
         },
     )
+    if compact_after:
+        # keep the ledger one file wide under a daily-increment regime;
+        # a no-op below the threshold, idempotent above it
+        compact_ledger(spark, out_dir, min_parts=compact_after)
     return survivors

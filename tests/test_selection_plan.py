@@ -384,3 +384,125 @@ def test_increment_shard_mode_matches_uncapped(spark, tmp_path):
     uncapped = survivors({}, "a")
     sharded = survivors({"max_bucket": 2, "cap_mode": "shard"}, "b")
     assert sharded == uncapped == [101, 102]  # min-id rep survives the pair
+
+
+# ---- ledger compaction (r6) ----
+
+
+def _fake_increment_rows(spark, out, n, start=0):
+    """Append n synthetic increment ledger rows driver-side — the
+    100-daily-batches shape without paying 100 Spark jobs."""
+    import json as _json
+
+    from localmod_spark.plans.pipeline import _append_ledger_row
+    from localmod_spark.plans.selection import _ledger_path
+
+    for i in range(start, start + n):
+        _append_ledger_row(
+            spark,
+            _ledger_path(out),
+            {
+                "wave": 5,
+                "stage": "increment",
+                "status": "done",
+                "rows": i,
+                "wall_ms": 1.0,
+                "params": _json.dumps({"i": i}, sort_keys=True),
+                "metrics": "{}",
+                "finished": 1000.0 + i,
+                "batch_id": f"b{i:03d}",
+            },
+        )
+
+
+def _ledger_files(spark, out):
+    from localmod_spark.plans.pipeline import _hadoop_fs
+    from localmod_spark.plans.selection import _ledger_path
+
+    fs, hp = _hadoop_fs(spark, _ledger_path(out))
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hp)
+        if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+    )
+
+
+def test_compact_ledger_100_batches_preserves_everything(spark, docs, tmp_path):
+    """100 appended increment rows compact to ONE file; every consumer
+    reads identically before and after (resume stages, latest params,
+    increment idempotency keys), later appends coexist with the
+    compacted file, and re-compaction below threshold is a no-op."""
+    from localmod_spark.plans.selection import (
+        _latest_stage_params,
+        _read_ledger,
+        _ledger_path,
+        compact_ledger,
+        completed_stages,
+        run_selection,
+    )
+
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    _fake_increment_rows(spark, out, 100)
+
+    before_rows = {
+        tuple(r) for r in _read_ledger(spark, _ledger_path(out)).collect()
+    }
+    before_stages = completed_stages(spark, out)
+    before_params = _latest_stage_params(spark, out, "bands")
+
+    n = compact_ledger(spark, out, min_parts=32)
+    assert n >= 100
+    assert len(_ledger_files(spark, out)) == 1
+
+    after = _read_ledger(spark, _ledger_path(out))
+    assert {tuple(r) for r in after.collect()} == before_rows
+    assert completed_stages(spark, out) == before_stages
+    assert _latest_stage_params(spark, out, "bands") == before_params
+    # second pass: 1 file < threshold -> no-op
+    assert compact_ledger(spark, out, min_parts=32) == 0
+    # appends after compaction coexist with the compacted file
+    _fake_increment_rows(spark, out, 1, start=500)
+    rows = _read_ledger(spark, _ledger_path(out)).where(
+        F.col("batch_id") == "b500"
+    )
+    assert rows.count() == 1
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_ledger_is_mixed_schema_safe(spark, docs, tmp_path):
+    """Pre-tracking rows (no params/finished/batch_id columns) compact
+    together with modern rows; mergeSchema null-fills survive the
+    rewrite with their TYPES intact (a pandas round-trip would widen
+    them and poison later reads)."""
+    from localmod_spark.plans.pipeline import _append_ledger_row
+    from localmod_spark.plans.selection import (
+        _ledger_path,
+        _read_ledger,
+        compact_ledger,
+        run_selection,
+    )
+
+    out = str(tmp_path / "sel")
+    run_selection(spark, docs, out)
+    for i in range(40):  # old-shape rows: subset of today's columns
+        _append_ledger_row(
+            spark, _ledger_path(out),
+            {"wave": 9, "stage": "increment", "status": "done", "rows": i},
+        )
+    assert compact_ledger(spark, out, min_parts=16) >= 40
+    after = _read_ledger(spark, _ledger_path(out))
+    old = after.where((F.col("wave") == 9) & F.col("params").isNull())
+    assert old.count() == 40
+    # and a fresh full-schema append still reads alongside the compact file
+    _fake_increment_rows(spark, out, 1, start=900)
+    assert after.sparkSession.read.option("mergeSchema", "true").parquet(
+        _ledger_path(out)
+    ).where(F.col("batch_id") == "b900").count() == 1
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compact_ledger_missing_dir_is_noop(spark, tmp_path):
+    from localmod_spark.plans.selection import compact_ledger
+
+    assert compact_ledger(spark, str(tmp_path / "nope"), min_parts=1) == 0
