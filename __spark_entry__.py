@@ -763,7 +763,8 @@ def _q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the DuckDB oracle models the no-dry formula — lower _MIX_BUDGET"
         )
     sel = mix_corpora(
-        docs, _MIX_WEIGHTS, _MIX_BUDGET, source_col="lang", token_col="n_tokens"
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, source_col="lang", token_col="n_tokens",
+        avail=avail,  # the guard already aggregated it — one corpus scan
     )
     return sel.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1593,7 +1594,11 @@ def _mix_corpora_sql() -> str:
           FROM toks)
         SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens
         FROM cums
-        WHERE cum <= (CASE lang {cases} ELSE 0.0 END)
+        -- budget > 0 mirrors the Spark side's inner join against the
+        -- positive-budget table: an UNWEIGHTED source's zero-token lead
+        -- doc must not slip in via 0 <= 0.0
+        WHERE (CASE lang {cases} ELSE 0.0 END) > 0
+          AND cum <= (CASE lang {cases} ELSE 0.0 END)
     """
 
 

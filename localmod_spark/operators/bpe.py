@@ -47,10 +47,14 @@ import pandas as pd  # module-level: pandas_udf resolves pd.Series hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Pre-tokenization: letter runs, digit runs, single non-space punctuation —
-# identical semantics in Java regex (Spark), CPython `re` (the encode UDF)
-# and RE2 (the DuckDB oracle); shared with the `bpe_token_count` query.
-BPE_PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Pre-tokenization: letter runs, digit runs, single non-whitespace
+# punctuation.  The whitespace class is spelled out EXPLICITLY — a bare
+# `\s` diverges across the three engines that must agree (CPython `re`
+# matches Unicode spaces like NBSP; Java regex and RE2 default to ASCII),
+# so on scraped text the encode UDF, the Java-side word_frequencies scan
+# and the DuckDB oracle would pre-tokenize differently.  The literal
+# class means the same bytes everywhere.
+BPE_PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
 _PRETOKEN_RE = re.compile(BPE_PRETOKEN_PATTERN)
 
 Merge = Tuple[str, str]

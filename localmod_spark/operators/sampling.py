@@ -161,6 +161,7 @@ def mix_corpora(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     order_by=None,
+    avail: "Mapping[str, int] | None" = None,
 ) -> DataFrame:
     """Weighted multi-source mixing to an exact total token budget — the
     training-mixture composer: given per-source weights and a corpus
@@ -182,15 +183,20 @@ def mix_corpora(
     A source whose budget exceeds its stock is kept WHOLE and the
     leftover re-spread over the other sources by weight — so the
     selected total stays at ``total_budget`` (to within one document per
-    source) until the weighted corpus itself is exhausted."""
+    source) until the weighted corpus itself is exhausted.
+
+    ``avail`` (optional): precomputed per-source token totals — pass it
+    when the caller already aggregated them (e.g. for its own saturation
+    checks) so the corpus is scanned once, not twice."""
     from pyspark.sql import Window
 
-    avail = {
-        r[source_col]: r["_t"]
-        for r in df.groupBy(source_col)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
-        .collect()
-    }
+    if avail is None:
+        avail = {
+            r[source_col]: r["_t"]
+            for r in df.groupBy(source_col)
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+            .collect()
+        }
     budgets = waterfill_budgets(avail, weights, total_budget)
     if order_by is None:
         order_by = (hash_uniform(F.col(id_col)).asc(), F.col(id_col).asc())

@@ -90,6 +90,15 @@ def staged_knn_truth(
     truth = knn_join(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col(id_col).alias("vec_id")
     )
+    if stored is not None:
+        # RE-staging: invalidate the old key BEFORE touching the data —
+        # otherwise a crash between the data overwrite and the key write
+        # leaves old-key + new-data, which a later run whose inputs match
+        # the OLD key would silently trust
+        from localmod_spark.plans.pipeline import _hadoop_fs
+
+        fs, hkey = _hadoop_fs(spark, os.path.join(truth_dir, _KEY_SUBDIR))
+        fs.delete(hkey, True)
     # data first, key LAST: an orphan data dir (crash in between) fails
     # the key check and recomputes — never trusted silently
     truth.write.mode("overwrite").parquet(data_dir)

@@ -161,3 +161,29 @@ def test_token_budget_driven_by_real_bpe_counts(spark, docs):
         assert max(r["cum_tokens"] for r in rows) <= budget
         for r in rows:  # the budget walks REAL encoded lengths
             assert r["n_bpe_tokens"] == len(encode_text(r["text"], ranks))
+
+
+def test_pretoken_pattern_agrees_across_engines_on_nbsp(spark):
+    """The whitespace class is spelled out as literal control characters
+    precisely so CPython re, Java regex and RE2 agree on NON-ASCII
+    spaces: NBSP is NOT whitespace in any of them — all three must emit
+    it as a punctuation token (a bare \\s would make Python drop it while
+    Java/DuckDB keep it, silently desyncing trainer, encoder and oracle)."""
+    import re as _re
+
+    import duckdb
+
+    from localmod_spark.operators.bpe import BPE_PRETOKEN_PATTERN
+
+    text = "a b c"
+    py = _re.findall(BPE_PRETOKEN_PATTERN, text)
+    assert py == ["a", " ", "b", "c"]
+    df = spark.createDataFrame([(text,)], "text string")
+    jv = sorted(
+        (r["word"], r["freq"]) for r in word_frequencies(df).collect()
+    )
+    assert jv == sorted({w: py.count(w) for w in py}.items())
+    duck = duckdb.connect().execute(
+        "SELECT regexp_extract_all(?, ?)", [text, BPE_PRETOKEN_PATTERN]
+    ).fetchone()[0]
+    assert duck == py
