@@ -24,14 +24,13 @@ from dataclasses import dataclass
 from typing import List, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from localmod_spark.plans.pipeline import _append_ledger_row, _hadoop_fs
+from localmod_spark.plans.pipeline import _append_ledger_row
 from localmod_spark.plans.selection import (
     _ledger_path,
-    _read_ledger,
     _stage_path,
     compact_ledger,
+    completed_stages,
 )
 
 EXPORT_STAGES = ("mixed", "shards")
@@ -55,41 +54,14 @@ def _export_params(
     mixed = {
         "weights": sorted((str(k), float(v)) for k, v in weights.items()),
         "total_budget": int(total_budget),
+        # carries the TOKENIZER IDENTITY, not just its kind: a BPE
+        # retrain or a different count column must invalidate the mix
         "token_source": token_source,
     }
     shards = dict(mixed, n_shards=int(n_shards), seed=int(seed))
     return {
         "mixed": json.dumps(mixed, sort_keys=True),
         "shards": json.dumps(shards, sort_keys=True),
-    }
-
-
-def _done_stages(spark: SparkSession, out_dir: str, stage_params: dict) -> set:
-    """Latest-ledger-row-wins, params-matching, data-dir-verified — the
-    ``plans/selection.completed_stages`` rule over the export stages."""
-    path = _ledger_path(out_dir)
-    fs, hpath = _hadoop_fs(spark, path)
-    if not fs.exists(hpath):
-        return set()
-    try:
-        rows = (
-            _read_ledger(spark, path)
-            .where(F.col("status") == "done")
-            .select("stage", "params", "finished")
-            .collect()
-        )
-    except Exception:  # noqa: BLE001 — unreadable ledger = recompute all
-        return set()
-    latest: dict = {}
-    for r in rows:
-        if r["stage"] not in EXPORT_STAGES:
-            continue
-        fin = r["finished"] if r["finished"] is not None else 0.0
-        if r["stage"] not in latest or fin > latest[r["stage"]][1]:
-            latest[r["stage"]] = (r["params"], fin)
-    done = {s for s, (p, _) in latest.items() if stage_params.get(s) == p}
-    return {
-        s for s in done if fs.exists(_hadoop_fs(spark, _stage_path(out_dir, s))[1])
     }
 
 
@@ -119,33 +91,53 @@ def run_export(
     grouped count + broadcast-budget window for the mix, one hash
     exchange + local sort for the shards; the intermediate mix is staged
     to parquet so a reshard (new seed / shard count) never re-runs the
-    mix, and a crash resumes from the last committed stage."""
-    token_source = "column"
-    if token_col is None:
-        if bpe_merges is not None:
-            from localmod_spark.operators.bpe import with_bpe_tokens
+    mix, and a crash resumes from the last committed stage (stage dirs
+    are overwritten in place, so every stage write is bracketed by a
+    ``running`` ledger marker — a crash mid-overwrite leaves the marker
+    newest and the stage recomputes instead of trusting a half-written
+    dir against an older matching ``done`` row).
 
-            docs = with_bpe_tokens(docs, bpe_merges, text_col=text_col)
-            token_col = "n_bpe_tokens"
-            token_source = "bpe"
-        else:
-            from localmod_spark.operators.textstats import token_count_col
+    ``ExportResult.shards`` is a lazy read of ``out_dir/shards`` — it
+    reflects whatever a LATER export into the same dir wrote there;
+    materialize it (or copy the dir) before re-exporting if you need the
+    old artifact."""
+    if token_col is not None:
+        token_source = f"column:{token_col}"
+    elif bpe_merges is not None:
+        import hashlib
 
-            docs = docs.withColumn("n_tokens", token_count_col(text_col))
-            token_col = "n_tokens"
-            token_source = "whitespace"
+        from localmod_spark.operators.bpe import with_bpe_tokens
+
+        # only the COUNT is consumed downstream — drop the subword array
+        # before it would ride two exchanges and two parquet writes
+        docs = with_bpe_tokens(docs, bpe_merges, text_col=text_col).drop("bpe_tokens")
+        token_col = "n_bpe_tokens"
+        merges_key = hashlib.md5(
+            json.dumps([list(m) for m in bpe_merges]).encode()
+        ).hexdigest()[:16]
+        token_source = f"bpe:{merges_key}"
+    else:
+        from localmod_spark.operators.textstats import token_count_col
+
+        docs = docs.withColumn("n_tokens", token_count_col(text_col))
+        token_col = "n_tokens"
+        token_source = "whitespace"
     params = _export_params(weights, total_budget, token_source, n_shards, seed)
-    done = _done_stages(spark, out_dir, params) if resume else set()
+    done = (
+        completed_stages(spark, out_dir, params, stages=EXPORT_STAGES)
+        if resume
+        else set()
+    )
     stages_run: List[str] = []
 
-    def _commit(stage: str, rows: int, started: float) -> None:
+    def _ledger(stage: str, status: str, rows: int, started: float) -> None:
         _append_ledger_row(
             spark,
             _ledger_path(out_dir),
             {
                 "wave": EXPORT_STAGES.index(stage),
                 "stage": stage,
-                "status": "done",
+                "status": status,
                 "rows": rows,
                 "wall_ms": round((time.time() - started) * 1000, 2),
                 "params": params[stage],
@@ -153,6 +145,9 @@ def run_export(
                 "finished": time.time(),
             },
         )
+
+    def _commit(stage: str, rows: int, started: float) -> None:
+        _ledger(stage, "done", rows, started)
         stages_run.append(stage)
 
     mixed_path = _stage_path(out_dir, "mixed")
@@ -160,6 +155,7 @@ def run_export(
         from localmod_spark.operators.sampling import mix_corpora
 
         t0 = time.time()
+        _ledger("mixed", "running", 0, t0)  # invalidates the dir until done
         mixed = mix_corpora(
             docs, weights, total_budget,
             source_col=source_col, token_col=token_col, id_col=id_col,
@@ -172,6 +168,7 @@ def run_export(
         from localmod_spark.operators.shuffle import write_shuffle_shards
 
         t0 = time.time()
+        _ledger("shards", "running", 0, t0)
         staged_mix = spark.read.parquet(mixed_path)
         write_shuffle_shards(staged_mix, shards_path, n_shards, seed, id_col=id_col)
         _commit("shards", spark.read.parquet(shards_path).count(), t0)

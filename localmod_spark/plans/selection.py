@@ -183,18 +183,29 @@ def _stage_params(
 
 
 def completed_stages(
-    spark: SparkSession, out_dir: str, stage_params: Optional[Dict[str, str]] = None
+    spark: SparkSession,
+    out_dir: str,
+    stage_params: Optional[Dict[str, str]] = None,
+    stages: tuple = STAGES,
 ) -> set:
+    """Which of ``stages`` are committed-and-current at *out_dir*.
+    Shared by the selection and export plans (``stages`` selects the
+    plan's resume vocabulary).  Rows with ``status='running'`` are
+    in-progress markers (the export plan writes one before overwriting a
+    stage dir in place): a running row NEWER than the last done row means
+    the dir may be partially overwritten — the stage is NOT done."""
     path = _ledger_path(out_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return set()
     try:
-        ledger = _read_ledger(spark, path).where(F.col("status") == "done")
+        ledger = _read_ledger(spark, path).where(
+            F.col("status").isin("done", "running")
+        )
         if stage_params is not None:
             if "params" not in ledger.columns:
                 warnings.warn(
-                    f"selection ledger at {path} predates parameter tracking; "
+                    f"ledger at {path} predates parameter tracking; "
                     "recomputing all stages",
                     stacklevel=2,
                 )
@@ -206,27 +217,37 @@ def completed_stages(
             # (mergeSchema fills the missing columns): null finished sorts
             # oldest, null params never matches the requested params — so
             # exactly that stage recomputes, nothing else degrades.
-            rows = ledger.select("stage", "params", "finished").collect()
+            rows = ledger.select("stage", "params", "finished", "status").collect()
             latest: Dict[str, tuple] = {}
             for r in rows:
-                if r["stage"] not in STAGES:
+                if r["stage"] not in stages:
                     continue  # e.g. 'increment' rows — not resume stages
                 fin = r["finished"] if r["finished"] is not None else 0.0
                 if r["stage"] not in latest or fin > latest[r["stage"]][1]:
-                    latest[r["stage"]] = (r["params"], fin)
-            done = {s for s, (p, _) in latest.items() if stage_params.get(s) == p}
+                    latest[r["stage"]] = (r["params"], fin, r["status"])
+            done = {
+                s
+                for s, (p, _, st) in latest.items()
+                if st == "done" and stage_params.get(s) == p
+            }
             stale = set(latest) - done
             if stale:
                 warnings.warn(
-                    f"selection stages {sorted(stale)} were built with different "
-                    "parameters; recomputing them (and their downstream stages)",
+                    f"stages {sorted(stale)} were built with different "
+                    "parameters (or interrupted mid-write); recomputing them "
+                    "(and their downstream stages)",
                     stacklevel=2,
                 )
         else:
-            rows = ledger.select("stage").distinct().collect()
+            rows = (
+                ledger.where(F.col("status") == "done")
+                .select("stage")
+                .distinct()
+                .collect()
+            )
             done = {r["stage"] for r in rows}
     except Exception as e:  # noqa: BLE001
-        warnings.warn(f"selection ledger unreadable ({e!r}); recomputing all stages", stacklevel=2)
+        warnings.warn(f"ledger unreadable ({e!r}); recomputing all stages", stacklevel=2)
         return set()
     # a ledger row without its data dir (manual cleanup, partial copy) must
     # not be trusted — the stage reruns

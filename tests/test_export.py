@@ -102,3 +102,53 @@ def test_export_with_real_bpe_counts(spark, docs, tmp_path):
     )
     assert "n_bpe_tokens" in res.shards.columns
     assert res.shards.count() > 0
+
+
+def test_bpe_retrain_invalidates_the_staged_mix(spark, docs, tmp_path):
+    """The invalidation key carries the TOKENIZER IDENTITY: re-exporting
+    with different merges (a retrained BPE) must recompute the mix, not
+    silently reuse counts budgeted under the old vocabulary."""
+    from localmod_spark.operators.bpe import PINNED_MERGES
+
+    out = str(tmp_path / "exp")
+    run_export(
+        spark, docs, out, WEIGHTS, total_budget=20000, n_shards=2, seed=1,
+        bpe_merges=PINNED_MERGES,
+    )
+    res = run_export(
+        spark, docs, out, WEIGHTS, total_budget=20000, n_shards=2, seed=1,
+        bpe_merges=PINNED_MERGES[:8],  # "retrained" vocabulary
+    )
+    assert res.stages_run == ["mixed", "shards"]
+    # and identical merges still resume cleanly
+    res2 = run_export(
+        spark, docs, out, WEIGHTS, total_budget=20000, n_shards=2, seed=1,
+        bpe_merges=PINNED_MERGES[:8],
+    )
+    assert res2.stages_run == []
+
+
+def test_crash_mid_overwrite_is_not_trusted(spark, docs, tmp_path, monkeypatch):
+    """Stage dirs are overwritten IN PLACE, so a rerun that dies between
+    the running marker and the done row must not let an OLDER matching
+    done row vouch for the (possibly half-written) dir."""
+    import localmod_spark.operators.sampling as samp
+
+    out = str(tmp_path / "exp")
+    run_export(spark, docs, out, WEIGHTS, total_budget=8000, n_shards=4, seed=3)
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated crash during the mix overwrite")
+
+    monkeypatch.setattr(samp, "mix_corpora", _boom)
+    new_w = dict(WEIGHTS, en=0.2, de=0.35)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_export(spark, docs, out, new_w, total_budget=8000, n_shards=4, seed=3)
+    monkeypatch.undo()
+
+    # resuming with the ORIGINAL params: the newest 'mixed' ledger row is
+    # the crashed run's running marker, so the stage recomputes rather
+    # than trusting the old done row
+    with pytest.warns(UserWarning, match="recomputing"):
+        res = run_export(spark, docs, out, WEIGHTS, total_budget=8000, n_shards=4, seed=3)
+    assert "mixed" in res.stages_run
