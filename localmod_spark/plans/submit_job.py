@@ -34,7 +34,7 @@ if os.path.isdir(os.path.join(_ROOT, "localmod_spark")) and _ROOT not in sys.pat
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="localmod_spark moderation pipeline")
     p.add_argument(
-        "--job", choices=("moderate", "select"), default="moderate",
+        "--job", choices=("moderate", "select", "export"), default="moderate",
         help="moderate = wave-resumable scoring; select = staged corpus selection",
     )
     p.add_argument("--input", help="input transcripts: parquet path or iceberg table name")
@@ -60,6 +60,19 @@ def main(argv=None) -> int:
     p.add_argument(
         "--max-concurrent-waves", type=int, default=1,
         help="submit this many wave jobs at once (scheduler fills idle slots)",
+    )
+    p.add_argument(
+        "--mix-weights", default="en=1.0",
+        help="[export] comma list of source=weight (sources = lang values)",
+    )
+    p.add_argument(
+        "--token-budget", type=int, default=100_000,
+        help="[export] total token budget for the mixed corpus",
+    )
+    p.add_argument("--shards", type=int, default=16, help="[export] output shard count")
+    p.add_argument(
+        "--shuffle-seed", type=int, default=0,
+        help="[export] deterministic shuffle seed (same seed = same shards)",
     )
     p.add_argument(
         "--model-dir", default=None,
@@ -106,21 +119,54 @@ def main(argv=None) -> int:
     else:
         turns = spark.read.table(args.input)  # iceberg catalog table
 
+    def _as_documents(df):
+        # adapt synthetic transcripts to document shape for smoke runs
+        if not args.synthetic:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.lit("en").alias("lang"),
+            "text",
+        )
+
+    if args.job == "export":
+        # mix → shuffle → shards: the trainer-facing artifact; input is a
+        # DOCUMENT table (doc_id, lang, text[, n_tokens])
+        from localmod_spark.plans.export import run_export
+
+        weights = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.mix_weights.split(","))
+        }
+        res = run_export(
+            spark, _as_documents(turns), args.output,
+            weights=weights,
+            total_budget=args.token_budget,
+            n_shards=args.shards,
+            seed=args.shuffle_seed,
+            resume=not args.no_resume,
+        )
+        print(
+            json.dumps(
+                {
+                    "out_dir": res.out_dir,
+                    "stages_run": res.stages_run,
+                    "stages_skipped": res.stages_skipped,
+                    "shard_rows": res.shards.count(),
+                    "n_shards": res.shards.select("shard").distinct().count(),
+                }
+            )
+        )
+        return 0
+
     if args.job == "select":
         # staged corpus selection: the input is a DOCUMENT table
         # (doc_id, lang, text); stages + lineage under --output
         from localmod_spark.plans.selection import run_selection
 
-        docs = turns  # same --input/--synthetic plumbing; synthetic turns
-        if args.synthetic:
-            # adapt synthetic transcripts to document shape for smoke runs
-            from pyspark.sql import functions as F
-
-            docs = turns.select(
-                F.monotonically_increasing_id().alias("doc_id"),
-                F.lit("en").alias("lang"),
-                "text",
-            )
+        docs = _as_documents(turns)
         sel = run_selection(
             spark, docs, args.output,
             threshold=args.dedup_threshold,

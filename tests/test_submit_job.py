@@ -99,3 +99,27 @@ def test_literal_spark_submit_py_files(tmp_path):
     assert summary["rows_written"] == 1000
     assert sorted(summary["waves_run"]) == [0, 1]
     assert os.path.isdir(out + "/data/wave=1") and os.path.isdir(out + "/_lineage")
+
+
+def test_submit_job_export_smoke_and_resume(tmp_path):
+    out = str(tmp_path / "exp_out")
+
+    def run():
+        p = subprocess.run(
+            [sys.executable, SCRIPT, "--job", "export", "--synthetic", "400",
+             "--output", out, "--mix-weights", "en=1.0",
+             "--token-budget", "2000", "--shards", "4"],
+            capture_output=True, text=True, timeout=420, cwd="/tmp",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    first = run()
+    assert first["stages_run"] == ["mixed", "shards"]
+    assert first["shard_rows"] > 0 and first["n_shards"] == 4
+
+    second = run()
+    assert second["stages_run"] == []
+    assert second["shard_rows"] == first["shard_rows"]
+    assert os.path.isdir(out + "/shards") and os.path.isdir(out + "/_lineage")
