@@ -197,6 +197,19 @@ def mix_corpora(
             .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
             .collect()
         }
+    ghosts = [s for s, w in weights.items() if w > 0 and not avail.get(s)]
+    if ghosts:
+        # a weighted source with no tokens is almost always a typo (or a
+        # whitespace artifact of CLI parsing) — its share silently
+        # refills the OTHER sources, so say it loudly
+        import warnings
+
+        warnings.warn(
+            f"mix_corpora: weighted sources {ghosts!r} have no tokens in the "
+            f"input (present sources: {sorted(map(str, avail))!r}); their "
+            "budget share redistributes to the remaining sources",
+            stacklevel=2,
+        )
     budgets = waterfill_budgets(avail, weights, total_budget)
     if order_by is None:
         order_by = (hash_uniform(F.col(id_col)).asc(), F.col(id_col).asc())

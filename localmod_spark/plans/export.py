@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from typing import List, Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from localmod_spark.plans.pipeline import _append_ledger_row
 from localmod_spark.plans.selection import (
@@ -42,6 +43,7 @@ class ExportResult:
     stages_run: List[str]
     stages_skipped: List[str]
     shards: DataFrame
+    shard_rows: int  # from the commit count / resume ledger — no rescan
 
 
 def _export_params(
@@ -164,6 +166,7 @@ def run_export(
         _commit("mixed", spark.read.parquet(mixed_path).count(), t0)
 
     shards_path = _stage_path(out_dir, "shards")
+    shard_rows = -1
     if "shards" not in done or "mixed" in stages_run:
         from localmod_spark.operators.shuffle import write_shuffle_shards
 
@@ -171,7 +174,19 @@ def run_export(
         _ledger("shards", "running", 0, t0)
         staged_mix = spark.read.parquet(mixed_path)
         write_shuffle_shards(staged_mix, shards_path, n_shards, seed, id_col=id_col)
-        _commit("shards", spark.read.parquet(shards_path).count(), t0)
+        shard_rows = spark.read.parquet(shards_path).count()
+        _commit("shards", shard_rows, t0)
+    else:
+        # resumed: the row count is already in the latest done ledger row
+        from localmod_spark.plans.selection import _read_ledger
+
+        rows = (
+            _read_ledger(spark, _ledger_path(out_dir))
+            .where((F.col("stage") == "shards") & (F.col("status") == "done"))
+            .select("rows", "finished")
+            .collect()
+        )
+        shard_rows = max(rows, key=lambda r: r["finished"] or 0.0)["rows"]
 
     if compact_after:
         compact_ledger(spark, out_dir, min_parts=compact_after)
@@ -181,4 +196,5 @@ def run_export(
         stages_run=stages_run,
         stages_skipped=skipped,
         shards=spark.read.parquet(shards_path),
+        shard_rows=int(shard_rows),
     )

@@ -239,13 +239,18 @@ def completed_stages(
                     stacklevel=2,
                 )
         else:
-            rows = (
-                ledger.where(F.col("status") == "done")
-                .select("stage")
-                .distinct()
-                .collect()
-            )
-            done = {r["stage"] for r in rows}
+            # even without params to match, a 'running' marker NEWER than
+            # the last done row means the dir may be mid-overwrite — the
+            # no-params branch must honor the same contract
+            rows = ledger.select("stage", "finished", "status").collect()
+            latest_st: Dict[str, tuple] = {}
+            for r in rows:
+                if r["stage"] not in stages:
+                    continue
+                fin = r["finished"] if r["finished"] is not None else 0.0
+                if r["stage"] not in latest_st or fin > latest_st[r["stage"]][0]:
+                    latest_st[r["stage"]] = (fin, r["status"])
+            done = {s for s, (_, st) in latest_st.items() if st == "done"}
     except Exception as e:  # noqa: BLE001
         warnings.warn(f"ledger unreadable ({e!r}); recomputing all stages", stacklevel=2)
         return set()

@@ -66,6 +66,11 @@ def main(argv=None) -> int:
         help="[export] comma list of source=weight (sources = lang values)",
     )
     p.add_argument(
+        "--token-col", default=None,
+        help="[export] existing token-count column to budget in (e.g. a "
+        "precomputed n_bpe_tokens); default: whitespace counts from text",
+    )
+    p.add_argument(
         "--token-budget", type=int, default=100_000,
         help="[export] total token budget for the mixed corpus",
     )
@@ -133,19 +138,27 @@ def main(argv=None) -> int:
 
     if args.job == "export":
         # mix → shuffle → shards: the trainer-facing artifact; input is a
-        # DOCUMENT table (doc_id, lang, text[, n_tokens])
+        # DOCUMENT table (doc_id, lang, text); pass --token-col to budget
+        # in an existing count column instead of whitespace counts
         from localmod_spark.plans.export import run_export
 
-        weights = {
-            k: float(v)
-            for k, v in (kv.split("=", 1) for kv in args.mix_weights.split(","))
-        }
+        weights = {}
+        for kv in args.mix_weights.split(","):
+            k, _, v = kv.partition("=")
+            k, v = k.strip(), v.strip()
+            if not k or not v:
+                p.error(f"--mix-weights entry {kv!r} is not source=weight")
+            try:
+                weights[k] = float(v)
+            except ValueError:
+                p.error(f"--mix-weights weight {v!r} for {k!r} is not a number")
         res = run_export(
             spark, _as_documents(turns), args.output,
             weights=weights,
             total_budget=args.token_budget,
             n_shards=args.shards,
             seed=args.shuffle_seed,
+            token_col=args.token_col,
             resume=not args.no_resume,
         )
         print(
@@ -154,8 +167,8 @@ def main(argv=None) -> int:
                     "out_dir": res.out_dir,
                     "stages_run": res.stages_run,
                     "stages_skipped": res.stages_skipped,
-                    "shard_rows": res.shards.count(),
-                    "n_shards": res.shards.select("shard").distinct().count(),
+                    "shard_rows": res.shard_rows,
+                    "n_shards": args.shards,
                 }
             )
         )

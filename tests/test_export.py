@@ -146,9 +146,30 @@ def test_crash_mid_overwrite_is_not_trusted(spark, docs, tmp_path, monkeypatch):
         run_export(spark, docs, out, new_w, total_budget=8000, n_shards=4, seed=3)
     monkeypatch.undo()
 
+    # the no-params status check honors the marker too (a monitoring
+    # caller without the params must not see the stage as done)
+    from localmod_spark.plans.export import EXPORT_STAGES
+    from localmod_spark.plans.selection import completed_stages
+
+    assert "mixed" not in completed_stages(spark, out, stages=EXPORT_STAGES)
+
     # resuming with the ORIGINAL params: the newest 'mixed' ledger row is
     # the crashed run's running marker, so the stage recomputes rather
     # than trusting the old done row
     with pytest.warns(UserWarning, match="recomputing"):
         res = run_export(spark, docs, out, WEIGHTS, total_budget=8000, n_shards=4, seed=3)
     assert "mixed" in res.stages_run
+    assert res.shard_rows == res.shards.count()  # ledger count is exact
+
+
+def test_mix_warns_on_ghost_source(spark, docs):
+    from localmod_spark.operators.sampling import mix_corpora
+
+    with pytest.warns(UserWarning, match="no tokens in the input"):
+        sel = mix_corpora(
+            docs.withColumn("n_tokens", F.length("text")),
+            {"en": 0.5, " de": 0.5},  # ' de' = the CLI-whitespace typo shape
+            2000,
+            source_col="lang",
+        )
+        assert {r["lang"] for r in sel.select("lang").distinct().collect()} == {"en"}
