@@ -39,6 +39,7 @@ are already text).
 
 from __future__ import annotations
 
+import os
 import re
 from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -206,6 +207,38 @@ def with_bpe_tokens(
     the budget/packing operators default to)."""
     out = documents.withColumn(out_col, bpe_tokens_col(merges, text_col=text_col))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer artifact persistence
+# ---------------------------------------------------------------------------
+
+
+def save_merges(merges: Sequence[Merge], path: str) -> None:
+    """Persist the merges table as a one-line-per-merge JSON file — the
+    tokenizer IS a model artifact: the job that trains it and the jobs
+    that encode with it (budgeting, packing, export) are usually
+    different runs, so the vocabulary must round-trip exactly.  Plain
+    JSON (not pickle): human-diffable, engine/version-independent, and
+    the same bytes `plans/export.py` digests for its invalidation key."""
+    import json
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump([list(m) for m in merges], f, ensure_ascii=False, indent=0)
+    os.replace(tmp, path)  # atomic on POSIX — no torn artifact on crash
+
+
+def load_merges(path: str) -> List[Merge]:
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    merges = [tuple(m) for m in data]
+    for m in merges:
+        if len(m) != 2 or not all(isinstance(x, str) for x in m):
+            raise ValueError(f"{path} is not a merges table: bad entry {m!r}")
+    return merges
 
 
 # ---------------------------------------------------------------------------

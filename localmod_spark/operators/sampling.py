@@ -233,6 +233,37 @@ def mix_corpora(
     )
 
 
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (or the whole stratum when it has
+    fewer) — the eval-set/probe-sample builder, where a rate-based sample
+    (expected size only) is the wrong tool.  Deterministic like the rate
+    samplers: rows are ranked by the md5 uniform of (id, seed), so the
+    sample is rerun/partitioning-stable and seed-keyed; raising ``n``
+    EXTENDS the previous sample (the order is fixed, the cutoff moves) —
+    eval sets can grow without resampling history.
+
+    One window exchange on the stratum key; at 10^12 rows Spark plans
+    the rank+filter as a per-partition top-k before the exchange, so the
+    shuffle carries ~n rows per (partition, stratum), not the corpus."""
+    from pyspark.sql import Window
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    u = hash_uniform(F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}")))
+    w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def split_train_holdout(
     df: DataFrame, holdout_rate: float = 0.01, id_col: str = "doc_id"
 ) -> DataFrame:

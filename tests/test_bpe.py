@@ -214,3 +214,28 @@ def test_sequence_packing_driven_by_real_bpe_counts(spark, docs):
         assert r["n_bpe_tokens"] == len(encode_text(texts[r["doc_id"]], ranks))
     assert all(f <= budget for f in fills.values())
     assert len({k[1] for k in fills}) > 1  # non-vacuous: multiple packs
+
+
+def test_merges_roundtrip_through_the_artifact_file(tmp_path):
+    from localmod_spark.operators.bpe import load_merges, save_merges
+
+    path = str(tmp_path / "merges.json")
+    save_merges(PINNED_MERGES, path)
+    assert load_merges(path) == PINNED_MERGES
+    # loaded merges are usable as-is (tuples, rank order preserved)
+    ranks = _ranks(load_merges(path))
+    assert encode_word("order", ranks) == ["order"]
+
+
+def test_load_merges_rejects_non_merge_json(tmp_path):
+    import json as _json
+
+    import pytest as _pt
+
+    from localmod_spark.operators.bpe import load_merges
+
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        _json.dump([["a", "b", "c"]], f)
+    with _pt.raises(ValueError, match="merges table"):
+        load_merges(bad)
