@@ -214,19 +214,36 @@ def with_bpe_tokens(
 # ---------------------------------------------------------------------------
 
 
+def merges_json(merges: Sequence[Merge]) -> str:
+    """THE canonical serialization of a merges table — one definition so
+    the artifact file (:func:`save_merges`) and the export plan's
+    invalidation digest (``plans/export.py``) hash literally the same
+    bytes."""
+    import json
+
+    return json.dumps([list(m) for m in merges])
+
+
 def save_merges(merges: Sequence[Merge], path: str) -> None:
-    """Persist the merges table as a one-line-per-merge JSON file — the
+    """Persist the merges table as canonical single-line JSON — the
     tokenizer IS a model artifact: the job that trains it and the jobs
     that encode with it (budgeting, packing, export) are usually
     different runs, so the vocabulary must round-trip exactly.  Plain
-    JSON (not pickle): human-diffable, engine/version-independent, and
-    the same bytes `plans/export.py` digests for its invalidation key."""
-    import json
+    JSON (not pickle): human-diffable, engine/version-independent, byte-
+    identical to what ``plans/export.py`` digests (:func:`merges_json`).
 
-    tmp = f"{path}.tmp"
+    Durable write: fsync the bytes, then an atomic same-dir replace with
+    a writer-unique temp name — a crash leaves either the old artifact
+    or the complete new one, never a torn file, and concurrent savers
+    cannot interleave into one temp file."""
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump([list(m) for m in merges], f, ensure_ascii=False, indent=0)
-    os.replace(tmp, path)  # atomic on POSIX — no torn artifact on crash
+        f.write(merges_json(merges))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_merges(path: str) -> List[Merge]:
@@ -234,11 +251,19 @@ def load_merges(path: str) -> List[Merge]:
 
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
-    merges = [tuple(m) for m in data]
-    for m in merges:
-        if len(m) != 2 or not all(isinstance(x, str) for x in m):
+    # validate the RAW JSON shape before tuple conversion — tuple("ab")
+    # would silently turn a wrong-format string entry into a plausible
+    # character pair
+    if not isinstance(data, list):
+        raise ValueError(f"{path} is not a merges table: top level is {type(data).__name__}")
+    for m in data:
+        if (
+            not isinstance(m, list)
+            or len(m) != 2
+            or not all(isinstance(x, str) for x in m)
+        ):
             raise ValueError(f"{path} is not a merges table: bad entry {m!r}")
-    return merges
+    return [tuple(m) for m in data]
 
 
 # ---------------------------------------------------------------------------

@@ -248,13 +248,20 @@ def sample_exact_n(
     EXTENDS the previous sample (the order is fixed, the cutoff moves) —
     eval sets can grow without resampling history.
 
-    One window exchange on the stratum key; at 10^12 rows Spark plans
-    the rank+filter as a per-partition top-k before the exchange, so the
-    shuffle carries ~n rows per (partition, stratum), not the corpus."""
+    One window exchange on the stratum key; at 10^12 rows Spark's
+    WindowGroupLimit rewrite runs the rank+filter as a per-partition
+    top-k BEFORE the exchange (plan-asserted), so the shuffle carries
+    ~n rows per (partition, stratum), not the corpus.
+
+    Rows with a NULL id are EXCLUDED, matching the rate samplers (a
+    NULL id would otherwise hash NULL, sort first under asc, and occupy
+    a slot for every seed); ids are assumed unique, as everywhere else
+    in this module."""
     from pyspark.sql import Window
 
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
+    df = df.where(F.col(id_col).isNotNull())
     u = hash_uniform(F.concat(F.col(id_col).cast("string"), F.lit(f"#{int(seed)}")))
     w = Window.partitionBy(stratum_col).orderBy(u.asc(), F.col(id_col).asc())
     return (

@@ -108,15 +108,15 @@ def run_export(
     elif bpe_merges is not None:
         import hashlib
 
-        from localmod_spark.operators.bpe import with_bpe_tokens
+        from localmod_spark.operators.bpe import merges_json, with_bpe_tokens
 
         # only the COUNT is consumed downstream — drop the subword array
         # before it would ride two exchanges and two parquet writes
         docs = with_bpe_tokens(docs, bpe_merges, text_col=text_col).drop("bpe_tokens")
         token_col = "n_bpe_tokens"
-        merges_key = hashlib.md5(
-            json.dumps([list(m) for m in bpe_merges]).encode()
-        ).hexdigest()[:16]
+        # merges_json is the same bytes save_merges writes — digesting
+        # the in-memory table and digesting the artifact file agree
+        merges_key = hashlib.md5(merges_json(bpe_merges).encode()).hexdigest()[:16]
         token_source = f"bpe:{merges_key}"
     else:
         from localmod_spark.operators.textstats import token_count_col

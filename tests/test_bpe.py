@@ -239,3 +239,32 @@ def test_load_merges_rejects_non_merge_json(tmp_path):
         _json.dump([["a", "b", "c"]], f)
     with _pt.raises(ValueError, match="merges table"):
         load_merges(bad)
+
+
+def test_merges_artifact_bytes_equal_the_export_digest_input(tmp_path):
+    """save_merges writes EXACTLY the bytes plans/export.py digests for
+    its invalidation key — digesting the file and digesting the
+    in-memory table must never disagree."""
+    from localmod_spark.operators.bpe import merges_json, save_merges
+
+    path = str(tmp_path / "merges.json")
+    save_merges(PINNED_MERGES, path)
+    with open(path, "rb") as f:
+        assert f.read() == merges_json(PINNED_MERGES).encode()
+
+
+def test_load_merges_rejects_string_and_dict_entries(tmp_path):
+    """tuple('ab') == ('a','b') would let wrong-format JSON masquerade
+    as a merges table — raw-shape validation must reject it."""
+    import json as _json
+
+    import pytest as _pt
+
+    from localmod_spark.operators.bpe import load_merges
+
+    for bad_payload in (["ab", "cd"], [{"ab": 1}], {"a": "b"}):
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            _json.dump(bad_payload, f)
+        with _pt.raises(ValueError, match="merges table"):
+            load_merges(bad)

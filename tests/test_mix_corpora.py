@@ -1,6 +1,7 @@
 """Weighted multi-source mixing (sampling.waterfill_budgets /
-mix_corpora): budget water-filling invariants (fuzzed), the
-source-exhaustion refill path, share tolerance, and determinism."""
+mix_corpora) and exact-count stratified sampling (sample_exact_n):
+water-filling invariants (fuzzed), the source-exhaustion refill path,
+share tolerance, determinism, and the per-partition top-k plan shape."""
 
 from __future__ import annotations
 
@@ -178,3 +179,28 @@ def test_sample_exact_n_caps_at_stratum_size_and_seed_matters(spark, corpus_df):
 
     with _pt.raises(ValueError):
         sample_exact_n(corpus_df, -1)
+
+
+def test_sample_exact_n_plan_is_pre_exchange_topk(spark, corpus_df):
+    """The scale claim, plan-asserted per repo convention: Spark's
+    WindowGroupLimit rewrite must run the rank cutoff as a per-partition
+    top-k BEFORE the stratum exchange, so the shuffle carries ~n rows
+    per (partition, stratum) instead of the corpus."""
+    from localmod_spark.operators.sampling import sample_exact_n
+
+    out = sample_exact_n(corpus_df, 5, stratum_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+
+
+def test_sample_exact_n_excludes_null_ids(spark):
+    """NULL ids would hash NULL and sort FIRST (occupying a slot at
+    every seed) — they are excluded, matching the rate samplers."""
+    from localmod_spark.operators.sampling import sample_exact_n
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (3, "a")],
+        "doc_id long, source string",
+    )
+    got = sample_exact_n(df, 2, stratum_col="source").collect()
+    assert len(got) == 2 and all(r["doc_id"] is not None for r in got)
