@@ -521,23 +521,35 @@ def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: users who never made a purchase over 150 (both the
-    filter and the distinct build side push into the probe's anti join)."""
+def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + set-operator surface, one section-keyed union:
+    'no_big_purchase' = users who never purchased over 150 (left-anti
+    join — both the filter and the distinct build side push into the
+    probe); 'click_not_buy' = clickers EXCEPT big purchasers, the build
+    side itself an INTERSECT (value > 100 keeps every sf non-vacuous)."""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
-    big_buyers = (
+    big150 = (
         events.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
         .select("user_id")
         .distinct()
     )
-    return (
-        events.select("user_id")
+    anti = events.select("user_id").distinct().join(big150, "user_id", "left_anti")
+    clickers = events.where(F.col("event_type") == "click").select("user_id").distinct()
+    big100 = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("user_id")
         .distinct()
-        .join(big_buyers, "user_id", "left_anti")
-        .select(F.col("user_id").cast("long").alias("user_id"))
     )
+    setops = clickers.exceptAll(big100.intersect(clickers))
+
+    def _sect(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("section"), F.col("user_id").cast("long").alias("user_id")
+        )
+
+    return _sect(anti, "no_big_purchase").unionByName(_sect(setops, "click_not_buy"))
 
 
 def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,24 +569,6 @@ def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators: clickers EXCEPT big-purchasers, with the build side
-    itself an INTERSECT.  (value > 100 keeps the result non-empty at every
-    sf, so the oracle comparison is never vacuous.)"""
-    from localmod_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    clickers = events.where(F.col("event_type") == "click").select("user_id").distinct()
-    big_buyers = (
-        events.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
-        .select("user_id")
-        .distinct()
-    )
-    return clickers.exceptAll(big_buyers.intersect(clickers)).select(
-        F.col("user_id").cast("long").alias("user_id")
-    )
 
 
 def _q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,7 +1248,7 @@ def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge via coverage, reconstruction keeps original token case, one
     splice per doc.  Oracle = DuckDB list-comprehension recomputation of
     the same coverage filter over the same flagged span set."""
-    from localmod_spark.operators.dedup import remove_repeated_spans
+    from localmod_spark.operators.dedup import dedup_paragraphs, remove_repeated_spans
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1269,7 +1263,45 @@ def _q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     word = _sel(remove_repeated_spans(docs, n=5, min_docs=2), "word")
     char = _sel(remove_repeated_spans(docs, n=30, min_docs=2, unit="char"), "char")
-    return word.unionByName(char)
+    para = _sel(dedup_paragraphs(_paragraph_docs(docs), sep="\n", min_docs=2), "para")
+    return word.unionByName(char).unionByName(para)
+
+
+_PARA_W = 8  # words per derived paragraph line
+
+
+def _paragraph_docs(docs: DataFrame) -> DataFrame:
+    """Derive paragraph STRUCTURE from the flat word-stream testdata:
+    reshape each document into {_PARA_W}-word lines joined by newlines —
+    a deterministic reshaping of the real rows (no synthetic data), so
+    the CCNet-style paragraph dedup has boundaries to operate on and
+    stays non-vacuous (~150 cross-doc duplicate lines at sf0.01)."""
+    ws = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ws) / _PARA_W).cast("int") - 1),
+        lambda i: F.array_join(F.slice(ws, i * _PARA_W + 1, _PARA_W), " "),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023): hashed
+    uni+bigram bag models for target (lang='en') vs raw (everything),
+    per-doc log importance ratio, deterministic hash-Gumbel top-k
+    without replacement.  Selection visibly recovers the target: ~53%
+    of picks are English vs a 39% base rate at sf0.001.  All hashes are
+    md5-derived so the oracle replays the exact pick set."""
+    from localmod_spark.operators.dsir import dsir_select
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_select(docs, docs.where(F.col("lang") == "en"), k=60, buckets=256)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.round("dsir_logw", 4).alias("dsir_logw"),
+        F.col("dsir_rk").cast("long").alias("dsir_rk"),
+    )
 
 
 def _word_span_scrub_sql(n: int = 5, min_docs: int = 2) -> str:
@@ -1333,10 +1365,55 @@ def _char_span_scrub_sql(n: int = 30, min_docs: int = 2) -> str:
     """
 
 
+def _para_scrub_sql(min_docs: int = 2, w: int = _PARA_W) -> str:
+    """Paragraph-mode cut (CCNet/RefinedWeb): replay the {w}-word-line
+    reshaping of :func:`_paragraph_docs`, flag normalized lines present
+    in >= min_docs distinct docs, splice the survivors back with \\n."""
+    return f"""
+        WITH wsl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pd AS (
+            SELECT doc_id,
+                   [array_to_string(ws[(i-1)*{w}+1 : i*{w}], ' ')
+                    FOR i IN generate_series(1, CAST(ceil(len(ws)/{w}.0) AS BIGINT))]
+                       AS paras
+            FROM wsl
+        ),
+        px AS (
+            SELECT doc_id, unnest(paras) AS para,
+                   unnest(generate_series(1, len(paras))) AS pos
+            FROM pd
+        ),
+        dup AS (
+            SELECT lower(trim(para)) AS k FROM px WHERE trim(para) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        pf AS (
+            SELECT px.doc_id, px.pos, px.para, (d.k IS NOT NULL) AS flg
+            FROM px LEFT JOIN dup d ON d.k = lower(trim(px.para))
+        )
+        SELECT 'para' AS unit, doc_id,
+               coalesce(array_to_string(
+                   [p[2] FOR p IN list_sort(list_zip(list(pos), list(para), list(flg)), 'ASC')
+                    IF NOT p[3]],
+                   chr(10)), '') AS scrubbed_text,
+               CAST(sum(CASE WHEN flg THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_spans
+        FROM pf GROUP BY doc_id
+    """
+
+
+def _dsir_select_sql() -> str:
+    """DuckDB replay of the DSIR pick (same params as _q_dsir_select),
+    with the rounded log-weight aliased to the Spark column names."""
+    from localmod_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql(k=60, buckets=256, alpha=1.0, target_pred="lang = 'en'")
+
+
 def _span_scrub_sql() -> str:
     return (
         f"SELECT * FROM ({_word_span_scrub_sql()}) "
-        f"UNION ALL SELECT * FROM ({_char_span_scrub_sql()})"
+        f"UNION ALL SELECT * FROM ({_char_span_scrub_sql()}) "
+        f"UNION ALL SELECT * FROM ({_para_scrub_sql()})"
     )
 
 
@@ -1373,11 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": _shipped(_q_topk_per_user),
         "value_percentiles": _shipped(_q_value_percentiles),
         "rollup_stats": _shipped(_q_rollup_stats),
-        "inactive_users": _shipped(_q_inactive_users),
+        "user_set_ops": _shipped(_q_user_set_ops),
         "event_type_pivot": _shipped(_q_event_type_pivot),
-        "set_ops": _shipped(_q_set_ops),
         "temperature_sample": _shipped(_q_temperature_sample),
         "mix_corpora": _shipped(_q_mix_corpora),
+        "dsir_select": _shipped(_q_dsir_select),
         "conv_text_stats": _shipped(_q_conv_text_stats),
         "asof_click": _shipped(_q_asof_click),
         "interval_join": _shipped(_q_interval_join),
@@ -2319,11 +2396,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
-        "inactive_users": """
-            SELECT DISTINCT user_id FROM events e
-            WHERE NOT EXISTS (SELECT 1 FROM events p
-                              WHERE p.user_id = e.user_id
-                                AND p.event_type = 'purchase' AND p.value > 150)
+        "user_set_ops": """
+            SELECT 'no_big_purchase' AS section, user_id FROM (
+                SELECT DISTINCT user_id FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM events p
+                                  WHERE p.user_id = e.user_id
+                                    AND p.event_type = 'purchase' AND p.value > 150))
+            UNION ALL
+            SELECT 'click_not_buy' AS section, user_id FROM (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND value > 100)
         """,
         "event_type_pivot": """
             SELECT user_id,
@@ -2335,12 +2419,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
 
-        "set_ops": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-            EXCEPT
-            SELECT DISTINCT user_id FROM events
-            WHERE event_type = 'purchase' AND value > 100
-        """,
         "temperature_sample": """
             WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
                        FROM documents GROUP BY lang),
@@ -2499,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_join_topk": _ivf_join_topk_sql(),
         "single_vec_topk": _single_vec_topk_sql(),
         "mix_corpora": _mix_corpora_sql(),
+        "dsir_select": _dsir_select_sql(),
         "shuffle_shards": """
             WITH keyed AS (
               SELECT doc_id,

@@ -738,6 +738,79 @@ def remove_repeated_spans(
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet / RefinedWeb hygiene pass
+    (Wenzek et al. LREC'20 §3.1; Penedo et al. 2023 §4): cut every
+    paragraph whose normalized form appears in ``min_docs`` or more
+    DISTINCT documents, and rejoin the survivors with ``sep``.  Returns
+    (id, scrubbed_text, n_flagged_spans) — the exact shape of
+    :func:`remove_repeated_spans`, with ``n_flagged_spans`` counting the
+    cut paragraph INSTANCES in that document.
+
+    Boilerplate (headers, footers, navigation, license blurbs) repeats
+    verbatim at paragraph granularity across a crawl; cutting at the
+    paragraph boundary keeps the surrounding prose intact where the
+    n-gram window scrub would nibble into it.  Normalization (trim +
+    lowercase) follows CCNet's paragraph-hash preprocessing.
+    Whitespace-only paragraphs are NEVER flagged (cutting every blank
+    line would reflow the whole corpus), and ``min_docs`` counts
+    distinct documents, so within-document repeats survive — that is
+    :func:`remove_repeated_spans`'s job.
+
+    Plan shape at 10^12 docs: split → posexplode (one row per
+    paragraph) → ONE grouped count on the paragraph key (map-side
+    partial agg collapses the repeats) → a left join of the flagged-key
+    set back to the paragraph rows → one groupBy(id) reassembly
+    (``collect_list`` is bounded by paragraphs-per-doc, never corpus
+    size).  All JVM, no driver state.  A boilerplate paragraph repeated
+    across millions of docs is naturally spread over the paragraph-row
+    side of the join, so the hot key fans out across tasks instead of
+    concentrating."""
+    esc = "\\Q" + sep + "\\E"  # split() takes a regex; quote the separator
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), esc)).alias("_pos", "_para"),
+    )
+    key = F.lower(F.trim(F.col("_para"))) if normalize else F.col("_para")
+    paras = paras.withColumn("_k", key)
+    flagged_keys = (
+        paras.where(F.trim(F.col("_para")) != "")
+        .groupBy("_k")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_k", F.lit(True).alias("_dup"))
+    )
+    return (
+        paras.join(flagged_keys, "_k", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_dup").isNull(), F.struct("_pos", "_para")
+                            )
+                        )
+                    ),
+                    lambda x: x["_para"],
+                ),
+                sep,
+            ).alias("scrubbed_text"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("int").alias(
+                "n_flagged_spans"
+            ),
+        )
+    )
+
+
 def cross_dedup_pairs(
     new_docs: DataFrame,
     corpus_bands: DataFrame,

@@ -612,3 +612,85 @@ def test_span_unit_rejects_unknown(spark):
         repeated_spans(df, unit="byte")
     with _pt.raises(ValueError):
         remove_repeated_spans(df, unit="byte")
+
+
+# ---------------------------------------------------------------- paragraphs
+
+
+def test_dedup_paragraphs_cuts_cross_doc_boilerplate(spark):
+    """The CCNet/RefinedWeb pass: a paragraph repeated across >= min_docs
+    DISTINCT docs is cut everywhere (every instance), normalization is
+    trim+lower, unique paragraphs survive in original order and case."""
+    from localmod_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "Subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (0, f"Unique intro A\n{boiler}\nUnique body A"),
+            (1, f"{boiler}\nUnique body B\n  subscribe to our newsletter  "),
+            (2, "Unique doc C only\nNothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, sep="\n", min_docs=2).collect()}
+    assert out[0].scrubbed_text == "Unique intro A\nUnique body A"
+    assert out[0].n_flagged_spans == 1
+    # doc 1 holds TWO instances (one case/space-variant) — both cut
+    assert out[1].scrubbed_text == "Unique body B"
+    assert out[1].n_flagged_spans == 2
+    assert out[2].scrubbed_text == "Unique doc C only\nNothing shared here"
+    assert out[2].n_flagged_spans == 0
+
+
+def test_dedup_paragraphs_blank_and_within_doc_repeats_survive(spark):
+    """Blank paragraphs are never flagged (no corpus-wide reflow) and
+    min_docs counts DISTINCT docs, so a within-doc repeat survives."""
+    from localmod_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha\n\nalpha\n\nbeta"),   # 'alpha' repeats within doc 0 only
+            (1, "gamma\n\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, sep="\n\n", min_docs=2).collect()}
+    assert out[0].scrubbed_text == "alpha\n\nalpha\n\nbeta"
+    assert out[0].n_flagged_spans == 0
+    assert out[1].scrubbed_text == "gamma\n\ndelta"
+
+
+def test_dedup_paragraphs_regex_safe_separator_and_shape(spark):
+    """The separator is quoted before hitting split()'s regex engine
+    (a '|' separator must not split on every char), the output shape
+    matches remove_repeated_spans, and every input doc comes back."""
+    from localmod_spark.operators.dedup import dedup_paragraphs, remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(0, "shared|unique zero"), (1, "shared|unique one"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = dedup_paragraphs(docs, sep="|", min_docs=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[0].scrubbed_text == "unique zero"
+    assert rows[2].scrubbed_text == ""  # empty doc survives, nothing flagged
+    spans = remove_repeated_spans(docs.where("doc_id < 2"), n=1, min_docs=2)
+    assert out.columns == spans.columns
+
+
+def test_dedup_paragraphs_beats_span_scrub_on_prose_adjacency(spark):
+    """The reason the operator exists: word-window scrub (n=5) nibbles
+    into prose ADJACENT to boilerplate when the window straddles the
+    boundary; the paragraph cut removes exactly the boilerplate line."""
+    from localmod_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "all rights reserved contact us terms of service"
+    docs = spark.createDataFrame(
+        [(i, f"original prose number {i}\n{boiler}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.scrubbed_text
+           for r in dedup_paragraphs(docs, sep="\n", min_docs=2).collect()}
+    for i in range(3):
+        assert out[i] == f"original prose number {i}"
