@@ -773,10 +773,16 @@ def dedup_paragraphs(
     across millions of docs is naturally spread over the paragraph-row
     side of the join, so the hot key fans out across tasks instead of
     concentrating."""
-    esc = "\\Q" + sep + "\\E"  # split() takes a regex; quote the separator
+    # split() takes a regex — quote the separator with java.util.regex
+    # Pattern.quote's exact recipe (an embedded \E must close, re-emit
+    # itself literally, and reopen the quote region)
+    esc = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # posexplode_OUTER: a NULL text splits to NULL and must still come
+    # back as a row (shape contract with remove_repeated_spans) — the
+    # plain posexplode would silently drop the document
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), esc)).alias("_pos", "_para"),
+        F.posexplode_outer(F.split(F.col(text_col), esc)).alias("_pos", "_para"),
     )
     key = F.lower(F.trim(F.col("_para"))) if normalize else F.col("_para")
     paras = paras.withColumn("_k", key)
@@ -787,23 +793,29 @@ def dedup_paragraphs(
         .where(F.col("_nd") >= min_docs)
         .select("_k", F.lit(True).alias("_dup"))
     )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_dup").isNull() & F.col("_pos").isNotNull(),
+                        F.struct("_pos", "_para"),
+                    )
+                )
+            ),
+            lambda x: x["_para"],
+        ),
+        sep,
+    )
     return (
         paras.join(flagged_keys, "_k", "left")
         .groupBy(id_col)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_dup").isNull(), F.struct("_pos", "_para")
-                            )
-                        )
-                    ),
-                    lambda x: x["_para"],
-                ),
-                sep,
-            ).alias("scrubbed_text"),
+            # a NULL-text doc scrubs to NULL (remove_repeated_spans parity),
+            # never to the empty string of a doc whose every para was cut
+            F.when(F.max(F.col("_pos").isNotNull()), joined)
+            .otherwise(F.lit(None).cast("string"))
+            .alias("scrubbed_text"),
             F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("int").alias(
                 "n_flagged_spans"
             ),

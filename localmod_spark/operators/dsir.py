@@ -32,8 +32,6 @@ score histogram exactly like
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,25 +80,12 @@ def hashed_gram_counts(
     )
 
 
-def hashed_lm_logprobs(
-    df: DataFrame,
-    buckets: int = 512,
-    alpha: float = 1.0,
-    text_col: str = "text",
-    bigrams: bool = True,
-    logp_col: str = "logp",
+def _lm_from_bucket_counts(
+    counts: DataFrame, buckets: int, alpha: float, logp_col: str
 ) -> DataFrame:
-    """Fit the add-alpha bag-of-buckets model → (bk, logp), COMPLETE over
-    all ``buckets`` rows (absent buckets get the smoothed floor), so the
-    scoring join never drops a document's bucket.  The model is
-    ``buckets`` rows — broadcastable by construction."""
-    spark = df.sparkSession
-    grams = df.select(F.explode(_gram_array(text_col, bigrams)).alias("_g"))
-    counts = (
-        grams.select(feature_bucket(F.col("_g"), buckets).alias("bk"))
-        .groupBy("bk")
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-    )
+    """Add-alpha model from precomputed (bk, _c) counts — see
+    :func:`hashed_lm_logprobs`."""
+    spark = counts.sparkSession
     total = counts.agg(F.sum("_c").alias("_total"))  # 1 row
     return (
         spark.range(buckets)
@@ -117,6 +102,27 @@ def hashed_lm_logprobs(
     )
 
 
+def hashed_lm_logprobs(
+    df: DataFrame,
+    buckets: int = 512,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    bigrams: bool = True,
+    logp_col: str = "logp",
+) -> DataFrame:
+    """Fit the add-alpha bag-of-buckets model → (bk, logp), COMPLETE over
+    all ``buckets`` rows (absent buckets get the smoothed floor), so the
+    scoring join never drops a document's bucket.  The model is
+    ``buckets`` rows — broadcastable by construction."""
+    counts = (
+        df.select(F.explode(_gram_array(text_col, bigrams)).alias("_g"))
+        .select(feature_bucket(F.col("_g"), buckets).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    return _lm_from_bucket_counts(counts, buckets, alpha, logp_col)
+
+
 def dsir_logweights(
     df: DataFrame,
     target_df: DataFrame,
@@ -129,18 +135,30 @@ def dsir_logweights(
     """Append ``dsir_logw`` — the log importance ratio of each document
     under target vs raw hashed-gram models.  A document with NO grams
     (blank text) scores 0 (empty product = weight 1), via the left join's
-    coalesce."""
-    raw_lm = hashed_lm_logprobs(
-        df, buckets=buckets, alpha=alpha, text_col=text_col, bigrams=bigrams, logp_col="_logq"
+    coalesce.
+
+    The raw-corpus explode (the dominant stage) runs ONCE: the per-doc
+    bucket counts are persisted and the raw model's bucket totals are a
+    re-aggregation of them — not a second scan — mirroring how the SQL
+    oracle derives ``raw_c`` from the shared gram CTE.  The persisted
+    block registers in the shared cache registry like every staged
+    sketch."""
+    from pyspark.storagelevel import StorageLevel
+
+    from localmod_spark.cache_registry import register_stage_cache
+
+    doc_counts = register_stage_cache(
+        hashed_gram_counts(
+            df, buckets=buckets, id_col=id_col, text_col=text_col, bigrams=bigrams
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    raw_counts = doc_counts.groupBy("bk").agg(F.sum("n").cast("long").alias("_c"))
+    raw_lm = _lm_from_bucket_counts(raw_counts, buckets, alpha, "_logq")
     tgt_lm = hashed_lm_logprobs(
         target_df, buckets=buckets, alpha=alpha, text_col=text_col, bigrams=bigrams, logp_col="_logp"
     )
     model = tgt_lm.join(raw_lm, "bk").select(
         "bk", (F.col("_logp") - F.col("_logq")).alias("_dlog")
-    )
-    doc_counts = hashed_gram_counts(
-        df, buckets=buckets, id_col=id_col, text_col=text_col, bigrams=bigrams
     )
     logw = (
         doc_counts.join(F.broadcast(model), "bk")
@@ -214,7 +232,8 @@ def dsir_oracle_sql(
     return f"""
         WITH ws AS (
             SELECT doc_id, lang,
-                   list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS w
             FROM {table}
         ),
         grams AS (

@@ -694,3 +694,33 @@ def test_dedup_paragraphs_beats_span_scrub_on_prose_adjacency(spark):
            for r in dedup_paragraphs(docs, sep="\n", min_docs=2).collect()}
     for i in range(3):
         assert out[i] == f"original prose number {i}"
+
+
+def test_dedup_paragraphs_keeps_null_text_docs(spark):
+    """A NULL text must come back as a row (shape contract with
+    remove_repeated_spans), scrubbed to NULL — not vanish, and not
+    collapse onto the ''-everything-cut case."""
+    from localmod_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(0, "shared"), (1, "shared"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, sep="\n", min_docs=2).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].scrubbed_text == "" and out[0].n_flagged_spans == 1
+    assert out[2].scrubbed_text is None and out[2].n_flagged_spans == 0
+
+
+def test_dedup_paragraphs_separator_with_embedded_quote_end(spark):
+    """Pattern.quote parity: a separator containing the literal \\E must
+    not leak live regex out of the quoted region."""
+    from localmod_spark.operators.dedup import dedup_paragraphs
+
+    sep = "\\E|"
+    docs = spark.createDataFrame(
+        [(0, f"shared{sep}unique zero"), (1, f"shared{sep}unique one")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, sep=sep, min_docs=2).collect()}
+    assert out[0].scrubbed_text == "unique zero"
+    assert out[0].n_flagged_spans == 1

@@ -121,3 +121,38 @@ def test_select_plan_is_pre_exchange_topk_with_broadcast_models(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=3" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_oracle_agrees_on_messy_whitespace_corpus(spark):
+    """Operator/oracle tokenizer parity beyond the fixture corpus: tabs,
+    newlines and double spaces must bucket identically in Spark (\\s+
+    split) and the DuckDB replay (regexp_split_to_array '\\s+')."""
+    import duckdb
+
+    from localmod_spark.operators.dsir import dsir_oracle_sql
+
+    rows = [
+        (0, "alpha\tbeta  gamma", "en"),
+        (1, "alpha beta\ngamma", "en"),
+        (2, "delta  epsilon\tzeta", "fr"),
+        (3, " alpha\t beta gamma ", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_select(df, df.where(F.col("lang") == "en"), k=4, buckets=64)
+    got = sorted(
+        (r["doc_id"], r["lang"], round(r["dsir_logw"], 4), r["dsir_rk"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (d, lg, lw, rk)
+        for d, lg, lw, rk in con.execute(
+            dsir_oracle_sql(k=4, buckets=64, alpha=1.0)
+        ).fetchall()
+    )
+    assert got == want
+    # docs 0, 1 and 3 tokenize identically -> identical log-weights
+    w = {d: lw for d, _, lw, _ in got}
+    assert w[0] == w[1] == w[3]
