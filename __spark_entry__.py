@@ -234,17 +234,33 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + CCNet's head/middle/tail perplexity
+    band (per-language terciles, Wenzek et al. LREC'20).  The per-doc
+    frame is persisted because the tercile thresholds and the bucket
+    join both consume the (expensive) quality UDF output."""
+    from pyspark.storagelevel import StorageLevel
+
+    from localmod_spark.cache_registry import register_stage_cache
     from localmod_spark.functions.text import quality_udf
+    from localmod_spark.operators.textstats import ccnet_buckets
     from localmod_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.withColumn("_q", quality_udf(F.col("text")))
-    return out.select(
-        "doc_id",
-        F.round(F.col("_q.perplexity"), 4).alias("perplexity"),
-        F.col("_q.quality_score").alias("quality_score"),
-        F.col("_q.quality_flagged").alias("quality_flagged"),
-        F.col("_q.n_tokens").cast("long").alias("n_tokens"),
+    perdoc = register_stage_cache(
+        docs.withColumn("_q", quality_udf(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("_q.perplexity"), 4).alias("perplexity"),
+            F.col("_q.quality_score").alias("quality_score"),
+            F.col("_q.quality_flagged").alias("quality_flagged"),
+            F.col("_q.n_tokens").cast("long").alias("n_tokens"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return ccnet_buckets(perdoc).select(
+        "doc_id", "perplexity", "quality_score", "quality_flagged",
+        "n_tokens", "lang", "ccnet_bucket",
     )
 
 
@@ -2079,6 +2095,27 @@ def _corpus_select_best_sql(n: int = 3, threshold: float = 0.9) -> str:
     """
 
 
+def _quality_ccnet_sql() -> str:
+    """The quality oracle plus CCNet's per-language tercile band:
+    quantile_cont uses the same linear interpolation as Spark's
+    ``percentile``, thresholds rounded(4) on both engines, comparison on
+    the already-rounded perplexity."""
+    return f"""
+        WITH q AS ({_quality_sql()}),
+        ql AS (SELECT q.*, d.lang FROM q JOIN documents d USING (doc_id)),
+        th AS (SELECT lang,
+                      round(quantile_cont(perplexity, 1.0/3), 4) AS t1,
+                      round(quantile_cont(perplexity, 2.0/3), 4) AS t2
+               FROM ql GROUP BY lang)
+        SELECT ql.doc_id, ql.perplexity, ql.quality_score, ql.quality_flagged,
+               ql.n_tokens, ql.lang,
+               CASE WHEN perplexity <= t1 THEN 'head'
+                    WHEN perplexity <= t2 THEN 'middle'
+                    ELSE 'tail' END AS ccnet_bucket
+        FROM ql JOIN th USING (lang)
+    """
+
+
 def _quality_sql() -> str:
     """Byte-exact SQL mirror of kernel/quality.py: the 28×28 char-bigram
     logprob table and the byte→symbol map are model PARAMETERS (a few KB,
@@ -2597,6 +2634,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_sql(),
         "corpus_select_best": _corpus_select_best_sql(),
         "conv_context": _CONV_CONTEXT_SQL,
-        "quality": _quality_sql(),
+        "quality": _quality_ccnet_sql(),
         "langid": _langid_sql(),
     }

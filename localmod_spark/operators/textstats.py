@@ -166,3 +166,55 @@ def train_char_kn_trigram_lm(documents: DataFrame, text_col: str = "text", disco
         documents, text_col, trigram_counts, (_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS)
     )
     return kn_logprob_table(total, discount=discount)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    ppl_col: str = "perplexity",
+    group_cols=("lang",),
+    bucket_col: str = "ccnet_bucket",
+    labels=("head", "middle", "tail"),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bands (Wenzek et al. LREC'20
+    §4: per-language tercile thresholds over the LM perplexity; "head"
+    is the most-fluent third a pretraining mix keeps first).  Appends
+    ``bucket_col`` with the band label.
+
+    Thresholds are the per-group 1/3 and 2/3 quantiles, ROUNDED to 4
+    decimals so a SQL oracle (quantile_cont — same linear interpolation
+    as Spark's ``percentile``) lands on identical boundaries; the
+    comparison is ``<=`` on the already-rounded perplexity column.
+
+    Plan shape: ONE grouped quantile pass (|groups| rows), broadcast
+    the threshold table back, a comparison projection — no window, no
+    per-group sort.  ``exact=True`` uses ``percentile``, whose
+    aggregation buffer holds the group's values — fine to ~10^8 rows
+    per group; at 10^12 rows pass ``exact=False`` (t-digest
+    ``approx_percentile``, partial-aggregatable) or pre-sample: CCNet
+    itself derives thresholds from a corpus sample, so approximate
+    thresholds ARE the reference behavior at scale.
+
+    The input is consumed twice (thresholds + the bucket join) — if the
+    perplexity column comes from a UDF or another expensive projection,
+    persist the input first (the registry query does)."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    th = df.groupBy(*group_cols).agg(
+        F.expr(
+            # 1.0D: Spark parses a bare 1.0 as DECIMAL; DuckDB's 1.0/3 is
+            # already the same IEEE double division
+            f"transform({fn}({ppl_col}, array(1.0D/3, 2.0D/3){acc}), x -> round(x, 4))"
+        ).alias("_th")
+    )
+    bucket = (
+        F.when(F.col(ppl_col) <= F.col("_th")[0], labels[0])
+        .when(F.col(ppl_col) <= F.col("_th")[1], labels[1])
+        .otherwise(labels[2])
+    )
+    return (
+        df.join(F.broadcast(th), list(group_cols))
+        .withColumn(bucket_col, bucket)
+        .drop("_th")
+    )

@@ -240,3 +240,31 @@ def test_lm_trainer_driver_reduce_is_bounded(spark):
         docs, "text", trigram_counts, (_N_SYMBOLS, _N_SYMBOLS, _N_SYMBOLS)
     )
     assert tri.count() <= _N_SYMBOLS**3
+
+
+def test_ccnet_buckets_terciles_and_monotonicity(spark):
+    """Per-group bands are near-equal thirds, ordered head <= middle <=
+    tail in perplexity, and the threshold table reaches the bucket join
+    as a broadcast (no shuffle on the data side)."""
+    from pyspark.sql import functions as F
+
+    from localmod_spark.operators.textstats import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 31), "en" if i % 2 else "fr") for i in range(90)],
+        "doc_id long, perplexity double, lang string",
+    )
+    out = ccnet_buckets(df)
+    rows = out.collect()
+    assert len(rows) == 90
+    for lang in ("en", "fr"):
+        by = {b: [r["perplexity"] for r in rows if r["lang"] == lang and r["ccnet_bucket"] == b]
+              for b in ("head", "middle", "tail")}
+        assert all(14 <= len(v) <= 16 for v in by.values()), {k: len(v) for k, v in by.items()}
+        assert max(by["head"]) <= min(by["middle"])
+        assert max(by["middle"]) <= min(by["tail"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the scale path (t-digest approx thresholds) agrees on comfortable data
+    approx = ccnet_buckets(df, exact=False)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, rows))
