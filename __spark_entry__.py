@@ -97,10 +97,20 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side text stats plus the canonical normalization digest
+    (kernel/normalize.py): each text is deliberately dirtied with a
+    decomposed accent + control chars + a space run (same literal in
+    the oracle), so ``norm_md5`` is non-vacuously different from the raw
+    digest and any NFC / control-strip / collapse divergence between the
+    pandas-UDF path and DuckDB's nfc_normalize pipeline hash-mismatches."""
+    from localmod_spark.functions.text import normalize_text_udf
     from localmod_spark.operators.textstats import doc_text_features
     from localmod_spark.sources.tables import load_table
 
-    feats = doc_text_features(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_text_features(docs, keep_cols=("text",))
+    dirty = F.concat(F.col("text"), F.lit("  e\u0301\t\x07"))
+    norm = normalize_text_udf(dirty)
     return feats.select(
         "doc_id",
         "caps_ratio",
@@ -108,6 +118,8 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         "has_punct_burst",
         F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
 
 
@@ -120,6 +132,38 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep_id").cast("long").alias("rep_id"),
         F.col("n_dups").cast("long").alias("n_dups"),
     )
+
+
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT incremental dedup (operators/bloom.py):
+    every 4th document plays the ingest batch, the rest the corpus; the
+    corpus folds to a (word_ix, word) Bloom table via one bit_or groupBy
+    and only bloom-maybe batch rows pay the verification anti-join.
+    The filter changes the plan, not the answer — the oracle is the
+    PLAIN anti-join in SQL, so any false-negative bug in the bloom path
+    (a dropped duplicate admitted) hash-mismatches immediately."""
+    from localmod_spark.operators.bloom import build_bloom, incremental_exact_dedup
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    # every 8th+5 doc re-enters the batch under a fresh id with its text
+    # unchanged — simulated re-crawl duplicates, so the gate provably
+    # DROPS rows (a bloom false negative shows up as extra output rows)
+    batch = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 8 == 5).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    bloom = build_bloom(corpus, "text", num_bits=1 << 16, k=5)
+    out = incremental_exact_dedup(
+        batch, corpus, bloom=bloom, key_col="text", num_bits=1 << 16, k=5
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
 def _q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,39 +526,47 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 events by value per user — rank window + filter (Spark turns
-    this into a TopK-per-partition, no global sort)."""
+def _q_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-shape statistics, one key-keyed union of two sections (two
+    operators in one slot; all values double so the union is typed):
+    'user:<id>' rows = pivot of event counts per user into per-type
+    columns; 'pctl:<type>' rows = EXACT percentiles per event type
+    (exact `percentile`, not approx — cross-engine checkable) with
+    (p50, p90, vmin, vmax, 0) in the value columns."""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        events.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivot = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
         .select(
-            F.col("user_id").cast("long").alias("user_id"),
-            F.col("event_id").cast("long").alias("event_id"),
-            F.col("rk").cast("long").alias("rk"),
+            F.format_string("user:%d", F.col("user_id").cast("long")).alias("key"),
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("double").alias(f"c{i + 1}")
+                for i, t in enumerate(types)
+            ],
         )
     )
-
-
-def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per event type (exact `percentile`, not approx —
-    cross-engine checkable)."""
-    from localmod_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    return (
+    pctl = (
         events.groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-            F.round(F.min("value"), 2).alias("vmin"),
-            F.round(F.max("value"), 2).alias("vmax"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("c1"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("c2"),
+            F.round(F.min("value"), 2).alias("c3"),
+            F.round(F.max("value"), 2).alias("c4"),
+        )
+        .select(
+            F.format_string("pctl:%s", "event_type").alias("key"),
+            "c1",
+            "c2",
+            "c3",
+            "c4",
+            F.lit(0.0).alias("c5"),
         )
     )
+    return pivot.unionByName(pctl)
 
 
 def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,12 +589,15 @@ def _q_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join + set-operator surface, one section-keyed union:
+def _q_user_event_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event operators, one section-keyed union (three sections
+    share one slot, every operator still value-checked):
     'no_big_purchase' = users who never purchased over 150 (left-anti
     join — both the filter and the distinct build side push into the
     probe); 'click_not_buy' = clickers EXCEPT big purchasers, the build
-    side itself an INTERSECT (value > 100 keeps every sf non-vacuous)."""
+    side itself an INTERSECT (value > 100 keeps every sf non-vacuous);
+    'topk' = top-3 events by value per user (rank window — Spark runs it
+    as TopK-per-partition, no global sort), carrying (event_id, rk)."""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -562,10 +617,28 @@ def _q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sect(df: DataFrame, name: str) -> DataFrame:
         return df.select(
-            F.lit(name).alias("section"), F.col("user_id").cast("long").alias("user_id")
+            F.lit(name).alias("section"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.lit(0).cast("long").alias("event_id"),
+            F.lit(0).cast("long").alias("rk"),
         )
 
-    return _sect(anti, "no_big_purchase").unionByName(_sect(setops, "click_not_buy"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    topk = (
+        events.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.lit("topk").alias("section"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+    return (
+        _sect(anti, "no_big_purchase")
+        .unionByName(_sect(setops, "click_not_buy"))
+        .unionByName(topk)
+    )
 
 
 def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +877,29 @@ def _q_conv_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (drop-oldest): per pseudo-conversation
+    (blocks of 5 documents), keep the LATEST turns whose char total fits
+    a 400-char budget — one running-sum window in reverse turn order +
+    a filter (operators/context.py:truncate_to_budget).  ``cum_tokens``
+    is the running total counted from the kept end, so the oracle
+    re-derives it with the same reversed window."""
+    from localmod_spark.operators.context import truncate_to_budget
+    from localmod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "conv", F.floor(F.col("doc_id") / F.lit(5)).cast("long")
+    )
+    kept = truncate_to_budget(
+        docs, budget=400, conv_col="conv", idx_col="doc_id", tokens_col="n_chars"
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "conv",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def _q_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward inclusive): for each purchase, the latest
     at-or-before click by the same user — implemented as the
@@ -1002,8 +1098,10 @@ def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from localmod_spark.operators.checks import (
         check_suite,
         completeness_check,
+        conversation_checks,
         in_range_check,
         in_set_check,
+        psi_drift,
     )
     from localmod_spark.sources.tables import load_table
 
@@ -1013,7 +1111,49 @@ def _q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_range_check("n_chars", 1, 300, 0.9),
         in_set_check("lang", ["de", "en", "es", "fr", "zh"], 1.0),
     ]
-    return check_suite(docs, checks, unique_col="doc_id")
+    row_checks = check_suite(docs, checks, unique_col="doc_id")
+
+    # Conversation-structure (multi-row ordering) checks over a
+    # conversation-shaped derivation of the documents table with
+    # DETERMINISTIC planted violations (idx gaps every 37th doc, ts
+    # regressions every 53rd, wrong opening role every 45th, orphan /
+    # missing tool payloads every 43rd / 41st) so every share is
+    # strictly inside (0, 1) — non-vacuous by construction.
+    d = F.col("doc_id")
+    convs = docs.select(
+        F.floor(d / 5).alias("conv"),
+        ((d % 5) + F.when(d % 37 == 0, F.lit(10)).otherwise(F.lit(0))).alias("idx"),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 45 == 0, F.lit("assistant")).otherwise(F.lit("user")),
+        )
+        .when(d % 41 == 0, F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(d % 43 == 0, F.lit("search")).alias("tool"),
+        (
+            ((d % 5) + F.when(d % 37 == 0, F.lit(10)).otherwise(F.lit(0))) * 60
+            - F.when(d % 53 == 0, F.lit(7200)).otherwise(F.lit(0))
+        ).alias("ts"),
+    )
+    conv_rows = conversation_checks(
+        convs, conv_col="conv", idx_col="idx", role_col="role",
+        tool_col="tool", ts_col="ts", min_pass_share=0.9,
+    )
+
+    # Drift gate: PSI between the even- and odd-doc_id halves (stable ⇒
+    # passes) and between the corpus and its long-docs slice (a real
+    # shift ⇒ fails) — both directions exercised.
+    breaks = [60.0, 120.0, 180.0, 240.0]
+    stable = psi_drift(
+        docs.where(d % 2 == 0), docs.where(d % 2 == 1), "n_chars", breaks
+    )
+    shifted = psi_drift(docs, docs.where(F.col("n_chars") > 120), "n_chars", breaks)
+    return (
+        row_checks.unionByName(conv_rows)
+        .unionByName(stable.withColumn("check", F.concat(F.lit("even_odd:"), "check")))
+        .unionByName(shifted.withColumn("check", F.concat(F.lit("long_docs:"), "check")))
+    )
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _shipped(_q_doc_stats),
         "text_features": _shipped(_q_text_features),
         "exact_dedup": _shipped(_q_exact_dedup),
+        "bloom_dedup": _shipped(_q_bloom_dedup),
         "turn_ordering": _shipped(_q_turn_ordering),
         "user_activity": _shipped(_q_user_activity),
         "repetition": _shipped(_q_repetition),
@@ -1463,15 +1604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _shipped(_q_embedding_dups),
         "dup_clusters": _shipped(_q_dup_clusters),
         "corpus_select_best": _shipped(_q_corpus_select_best),
-        "topk_per_user": _shipped(_q_topk_per_user),
-        "value_percentiles": _shipped(_q_value_percentiles),
+        "event_shapes": _shipped(_q_event_shapes),
         "rollup_stats": _shipped(_q_rollup_stats),
-        "user_set_ops": _shipped(_q_user_set_ops),
-        "event_type_pivot": _shipped(_q_event_type_pivot),
+        "user_event_ops": _shipped(_q_user_event_ops),
         "temperature_sample": _shipped(_q_temperature_sample),
         "mix_corpora": _shipped(_q_mix_corpora),
         "dsir_select": _shipped(_q_dsir_select),
         "conv_text_stats": _shipped(_q_conv_text_stats),
+        "conv_truncate": _shipped(_q_conv_truncate),
         "asof_click": _shipped(_q_asof_click),
         "interval_join": _shipped(_q_interval_join),
         "rolling_value": _shipped(_q_rolling_value),
@@ -1508,6 +1648,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _STOPLIST_SQL = "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','be','this','that','are']"
+
+
+# The canonical-normalization oracle expression over the deterministically
+# dirtied text (decomposed accent + TAB + BEL + a space run appended) —
+# built from the SAME template the kernel publishes, so implementation
+# and oracle cannot drift apart.
+from localmod_spark.kernel.normalize import DUCKDB_NORMALIZE_TEMPLATE as _NORM_TPL
+
+_NORM_DIRTY_SQL = _NORM_TPL.format(
+    col="(text || '  e' || chr(769) || chr(9) || chr(7))"
+)
 
 # ---------------------------------------------------------------------------
 # Generated oracle SQL for the sketch/LSH operators.  The hyperplanes /
@@ -2292,12 +2443,25 @@ def oracle_sql() -> dict[str, str]:
                                    / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 6) END
                        AS stopword_ratio,
                    length(regexp_replace(text, '[^!?]', '', 'g')) >= 3 AS has_punct_burst,
-                   length(text) AS n_chars_computed
+                   length(text) AS n_chars_computed,
+                   md5({_NORM_DIRTY_SQL}) AS norm_md5,
+                   length({_NORM_DIRTY_SQL}) AS norm_len
             FROM documents
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "bloom_dedup": """
+            WITH batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 8 = 5
+            )
+            SELECT b.doc_id FROM batch b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents c
+                WHERE c.doc_id % 4 <> 0 AND c.text = b.text)
         """,
         "turn_ordering": """
             SELECT event_id, user_id,
@@ -2410,22 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": _embedding_dups_union_sql(),
 
         "bpe_tokens": _bpe_tokens_sql(),
-        "topk_per_user": """
-            SELECT user_id, event_id, rk FROM (
-                SELECT user_id, event_id,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY value DESC, event_id ASC) AS rk
-                FROM events
-            ) WHERE rk <= 3
-        """,
-        "value_percentiles": """
-            SELECT event_type,
-                   round(quantile_cont(value, 0.5), 4) AS p50,
-                   round(quantile_cont(value, 0.9), 4) AS p90,
-                   round(min(value), 2) AS vmin,
-                   round(max(value), 2) AS vmax
-            FROM events GROUP BY event_type
-        """,
+
         "rollup_stats": """
             SELECT coalesce(lang, '<all>') AS lang,
                    coalesce(source, '<all>') AS source,
@@ -2433,27 +2582,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
-        "user_set_ops": """
-            SELECT 'no_big_purchase' AS section, user_id FROM (
+        "user_event_ops": """
+            SELECT 'no_big_purchase' AS section, user_id,
+                   CAST(0 AS BIGINT) AS event_id, CAST(0 AS BIGINT) AS rk FROM (
                 SELECT DISTINCT user_id FROM events e
                 WHERE NOT EXISTS (SELECT 1 FROM events p
                                   WHERE p.user_id = e.user_id
                                     AND p.event_type = 'purchase' AND p.value > 150))
             UNION ALL
-            SELECT 'click_not_buy' AS section, user_id FROM (
+            SELECT 'click_not_buy' AS section, user_id,
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM (
                 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
                 EXCEPT
                 SELECT DISTINCT user_id FROM events
                 WHERE event_type = 'purchase' AND value > 100)
+            UNION ALL
+            SELECT 'topk' AS section, user_id, event_id, rk FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS rk
+                FROM events
+            ) WHERE rk <= 3
         """,
-        "event_type_pivot": """
-            SELECT user_id,
-                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        "event_shapes": """
+            SELECT 'user:' || user_id AS key,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS c4,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS c5
             FROM events GROUP BY user_id
+            UNION ALL
+            SELECT 'pctl:' || event_type,
+                   round(quantile_cont(value, 0.5), 4),
+                   round(quantile_cont(value, 0.9), 4),
+                   round(min(value), 2),
+                   round(max(value), 2),
+                   0.0
+            FROM events GROUP BY event_type
         """,
 
         "temperature_sample": """
@@ -2475,6 +2641,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    length(string_agg(text, chr(10) ORDER BY doc_id)) AS n_chars
             FROM documents GROUP BY 1
+        """,
+        "conv_truncate": """
+            SELECT doc_id, conv, cum_tokens FROM (
+                SELECT doc_id, doc_id // 5 AS conv,
+                       CAST(sum(n_chars) OVER (
+                           PARTITION BY doc_id // 5 ORDER BY doc_id DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum_tokens
+                FROM documents)
+            WHERE cum_tokens <= 400
         """,
         "asof_click": """
             WITH clicks AS (
@@ -2519,10 +2695,100 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'in_set(lang)', round(p2 / CAST(n AS DOUBLE), 6), 1.0 FROM m
                 UNION ALL
                 SELECT 'unique(doc_id)', round(u / CAST(n AS DOUBLE), 6), 1.0 FROM m
+            ),
+            t AS (
+                SELECT doc_id // 5 AS conv,
+                       (doc_id % 5) + CASE WHEN doc_id % 37 = 0 THEN 10 ELSE 0 END AS idx,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN CASE WHEN doc_id % 45 = 0 THEN 'assistant' ELSE 'user' END
+                            WHEN doc_id % 41 = 0 THEN 'tool' ELSE 'assistant' END AS role,
+                       CASE WHEN doc_id % 43 = 0 THEN 'search' ELSE NULL END AS tool,
+                       ((doc_id % 5) + CASE WHEN doc_id % 37 = 0 THEN 10 ELSE 0 END) * 60
+                           - CASE WHEN doc_id % 53 = 0 THEN 7200 ELSE 0 END AS ts
+                FROM documents
+            ),
+            lagd AS (
+                SELECT *, lag(ts) OVER (PARTITION BY conv ORDER BY idx) AS prev_ts FROM t
+            ),
+            cf AS (
+                SELECT conv, count(*) AS n, min(idx) AS imin, max(idx) AS imax,
+                       count(DISTINCT idx) AS idist,
+                       min(CASE WHEN prev_ts IS NULL OR prev_ts <= ts THEN 1 ELSE 0 END) AS ts_ok,
+                       min(CASE WHEN (role = 'tool') = (tool IS NOT NULL) THEN 1 ELSE 0 END) AS tool_ok,
+                       arg_min(role, idx) AS role0
+                FROM lagd GROUP BY conv
+            ),
+            cg AS (
+                SELECT count(*) AS c,
+                       CAST(sum(CASE WHEN imin = 0 AND imax = n - 1 AND idist = n THEN 1 ELSE 0 END) AS BIGINT) AS dense_n,
+                       CAST(sum(ts_ok) AS BIGINT) AS mono_n,
+                       CAST(sum(CASE WHEN role0 = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS first_n,
+                       CAST(sum(tool_ok) AS BIGINT) AS tool_n
+                FROM cf
+            ),
+            conv_rows AS (
+                SELECT 'dense(idx)' AS chk, round(dense_n / CAST(c AS DOUBLE), 6) AS pass_share,
+                       0.9 AS min_pass_share FROM cg
+                UNION ALL SELECT 'monotone(ts)', round(mono_n / CAST(c AS DOUBLE), 6), 0.9 FROM cg
+                UNION ALL SELECT 'first(role=user)', round(first_n / CAST(c AS DOUBLE), 6), 0.9 FROM cg
+                UNION ALL SELECT 'tool_iff_role(tool)', round(tool_n / CAST(c AS DOUBLE), 6), 0.9 FROM cg
+            ),
+            eo_b AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
+                     FROM documents WHERE doc_id % 2 = 0),
+            eo_c AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
+                     FROM documents WHERE doc_id % 2 = 1),
+            ld_b AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
+                     FROM documents),
+            ld_c AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
+                          + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
+                     FROM documents WHERE n_chars > 120),
+            bl AS (SELECT CAST(range AS INT) AS b FROM range(5)),
+            psi1 AS (
+                SELECT round(sum((q.sh - p.sh) * ln(q.sh / p.sh)), 6) AS v
+                FROM (SELECT bl.b,
+                             (coalesce(cnt, 0) + 0.5)
+                                 / ((SELECT count(*) FROM eo_b) + 2.5) AS sh
+                      FROM bl LEFT JOIN (SELECT b, count(*) AS cnt FROM eo_b GROUP BY b)
+                           USING (b)) p
+                JOIN (SELECT bl.b,
+                             (coalesce(cnt, 0) + 0.5)
+                                 / ((SELECT count(*) FROM eo_c) + 2.5) AS sh
+                      FROM bl LEFT JOIN (SELECT b, count(*) AS cnt FROM eo_c GROUP BY b)
+                           USING (b)) q
+                  ON p.b = q.b
+            ),
+            psi2 AS (
+                SELECT round(sum((q.sh - p.sh) * ln(q.sh / p.sh)), 6) AS v
+                FROM (SELECT bl.b,
+                             (coalesce(cnt, 0) + 0.5)
+                                 / ((SELECT count(*) FROM ld_b) + 2.5) AS sh
+                      FROM bl LEFT JOIN (SELECT b, count(*) AS cnt FROM ld_b GROUP BY b)
+                           USING (b)) p
+                JOIN (SELECT bl.b,
+                             (coalesce(cnt, 0) + 0.5)
+                                 / ((SELECT count(*) FROM ld_c) + 2.5) AS sh
+                      FROM bl LEFT JOIN (SELECT b, count(*) AS cnt FROM ld_c GROUP BY b)
+                           USING (b)) q
+                  ON p.b = q.b
             )
             SELECT chk AS "check", pass_share, min_pass_share,
                    pass_share >= min_pass_share AS passed
-            FROM rows_out
+            FROM (SELECT * FROM rows_out UNION ALL SELECT * FROM conv_rows)
+            UNION ALL
+            SELECT 'even_odd:psi(n_chars)<=0.25', v, 0.25, v <= 0.25 FROM psi1
+            UNION ALL
+            SELECT 'long_docs:psi(n_chars)<=0.25', v, 0.25, v <= 0.25 FROM psi2
         """,
         "decontaminate": """
             WITH t AS (

@@ -127,3 +127,13 @@ def perplexity_udf_with_lm(logprob_table):
         )
 
     return _ppl
+
+
+@F.pandas_udf(StringType())
+def normalize_text_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized canonical normalization (kernel/normalize.py) — the
+    dedup-key form: NFC + control strip + space collapse + space trim.
+    Null-preserving."""
+    from localmod_spark.kernel.normalize import normalize_text
+
+    return texts.map(lambda t: None if t is None else normalize_text(t))

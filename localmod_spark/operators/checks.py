@@ -24,7 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,163 @@ def merge_states(states: DataFrame, n_checks: int) -> DataFrame:
     for i in range(n_checks):
         aggs.append(F.sum(f"pass_{i}").alias(f"pass_{i}"))
     return states.agg(*aggs)
+
+
+# ------------------------------- conversation-structure checks ----
+
+
+def conversation_checks(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    first_role: str = "user",
+    tool_role: str = "tool",
+    min_pass_share: float = 1.0,
+) -> DataFrame:
+    """Multi-row (ordering) constraints over conversations — the checks a
+    transcript ingest must run that single-row Deequ predicates cannot
+    express.  One row out per check, same shape as :func:`check_suite`
+    (check, pass_share, min_pass_share, passed), where ``pass_share`` is
+    the share of CONVERSATIONS satisfying the constraint:
+
+      * ``dense(turn_idx)``   — turn_idx is exactly 0..n-1 (no gaps, no
+        dups, zero-based): a hole means a dropped or duplicated turn;
+      * ``monotone(ts)``      — timestamps never decrease in turn order;
+      * ``first(role)``       — the opening turn has ``first_role``;
+      * ``tool_iff_role``     — ``tool_col`` is non-null exactly on
+        ``tool_role`` turns (no orphan tool payloads, no missing ones).
+
+    The opening-role check reads the role at the MINIMUM ``idx_col``
+    (min_by); a duplicated minimum index would make that pick
+    engine-dependent — but a duplicated index is itself a
+    ``dense`` violation, so the dense check is the authority there.
+
+    Plan: one lag window for the adjacent-ts comparison, then ONE
+    grouped aggregation to conversation grain, then one global
+    aggregation — per-conversation state is O(1) regardless of length.
+    The window partitions by conversation; upstream day-bounding
+    (context.add_context_bounded) is the prescribed hot-conversation
+    guard when conversations are unbounded streams.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_ts = F.lag(ts_col).over(w)
+    rows = df.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(idx_col).alias("_idx"),
+        F.col(role_col).alias("_role"),
+        (prev_ts.isNull() | (prev_ts <= F.col(ts_col))).cast("long").alias("_ts_ok"),
+        ((F.col(role_col) == tool_role) == F.col(tool_col).isNotNull())
+        .cast("long")
+        .alias("_tool_ok"),
+    )
+    conv = rows.groupBy("_conv").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_idx").alias("_imin"),
+        F.max("_idx").alias("_imax"),
+        F.countDistinct("_idx").alias("_idist"),
+        F.min("_ts_ok").alias("_ts_ok"),
+        F.min("_tool_ok").alias("_tool_ok"),
+        F.min_by("_role", "_idx").alias("_role0"),
+    )
+    g = conv.agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(
+            (
+                (F.col("_imin") == 0)
+                & (F.col("_imax") == F.col("_n") - 1)
+                & (F.col("_idist") == F.col("_n"))
+            ).cast("long")
+        ).alias("_dense"),
+        F.sum("_ts_ok").alias("_mono"),
+        F.sum((F.col("_role0") == first_role).cast("long")).alias("_first"),
+        F.sum("_tool_ok").alias("_tool"),
+    )
+    checks = [
+        (f"dense({idx_col})", "_dense"),
+        (f"monotone({ts_col})", "_mono"),
+        (f"first({role_col}={first_role})", "_first"),
+        (f"tool_iff_role({tool_col})", "_tool"),
+    ]
+    rows_arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.round(F.col(c) / F.col("_c"), 6).alias("pass_share"),
+                F.lit(min_pass_share).alias("min_pass_share"),
+            )
+            for name, c in checks
+        ]
+    )
+    return (
+        g.select(F.explode(rows_arr).alias("r"))
+        .select("r.check", "r.pass_share", "r.min_pass_share")
+        .withColumn("passed", F.col("pass_share") >= F.col("min_pass_share"))
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    breaks: Sequence[float],
+    max_psi: float = 0.25,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard drift gate a recurring ingest runs before promoting a new
+    increment (PSI < 0.1 stable / 0.1-0.25 drifting / > 0.25 shifted).
+
+    ``breaks`` are EXPLICIT bucket edges (bucket i = #{edges < value}) so
+    the metric is deterministic and cross-engine checkable — no
+    quantile estimation inside the check.  Both sides reduce to one
+    #buckets-row table (grouped conditional counts, map-side combined);
+    the join that follows is over ≤ len(breaks)+1 rows.  Laplace-smoothed
+    (+0.5 per bucket) so empty buckets never produce infinities.
+
+    Output shape matches :func:`check_suite` rows with the INVERTED
+    comparison made explicit in the check name: ``pass_share`` carries
+    the PSI value and ``passed`` is ``psi <= max_psi``.
+    """
+    k = len(breaks) + 1
+
+    def bucket(c: Column) -> Column:
+        b = F.lit(0)
+        for e in breaks:
+            b = b + (c > F.lit(float(e))).cast("int")
+        return b
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        counts = df.select(bucket(F.col(col)).alias("_b")).groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        total = F.sum("_n").over(Window.partitionBy())
+        return counts.select(
+            "_b", ((F.col("_n") + F.lit(0.5)) / (total + F.lit(0.5 * k))).alias(name)
+        )
+
+    all_buckets = base.sparkSession.range(k).select(F.col("id").cast("int").alias("_b"))
+    nb = base.count()
+    nc = current.count()
+    p = shares(base, "_p")
+    q = shares(current, "_q")
+    joined = (
+        all_buckets.join(p, "_b", "left")
+        .join(q, "_b", "left")
+        .select(
+            F.coalesce("_p", F.lit(0.5 / (nb + 0.5 * k))).alias("_p"),
+            F.coalesce("_q", F.lit(0.5 / (nc + 0.5 * k))).alias("_q"),
+        )
+    )
+    psi = joined.agg(
+        F.round(F.sum((F.col("_q") - F.col("_p")) * F.log(F.col("_q") / F.col("_p"))), 6).alias(
+            "_psi"
+        )
+    )
+    return psi.select(
+        F.lit(f"psi({col})<={max_psi}").alias("check"),
+        F.col("_psi").alias("pass_share"),
+        F.lit(float(max_psi)).alias("min_pass_share"),
+        (F.col("_psi") <= F.lit(float(max_psi))).alias("passed"),
+    )

@@ -223,3 +223,44 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         "is_repeat_turn",
         F.coalesce(h == F.lag(h).over(w), F.lit(False)),
     )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tokens_col: str = "n_tokens",
+    keep: str = "suffix",
+) -> DataFrame:
+    """Context-window truncation: per conversation, keep the maximal
+    contiguous run of turns whose token total fits ``budget``.
+
+    ``keep='suffix'`` keeps the LATEST turns (drop-oldest — how a serving
+    stack or a train-time packer trims an over-long conversation);
+    ``keep='prefix'`` keeps the earliest.  A turn that alone exceeds the
+    budget is dropped with the rest of its conversation side — the caller
+    decides whether lone over-budget turns deserve splitting (that is a
+    tokenizer-level concern, cf. operators/bpe.py).
+
+    One running-sum window in the chosen direction, then a filter — no
+    join, no second pass.  The window partitions by conversation: length
+    is bounded by the upstream context-window itself (a conversation a
+    model can consume fits in memory), and day-bounded splitting
+    (add_context_bounded) is the guard for pathological never-ending
+    streams.  Emits the surviving rows plus ``cum_tokens`` (the running
+    total INCLUDING the row, counted from the kept end).  A NULL token
+    count costs zero (SQL ``sum`` skips nulls — identically in every
+    engine), so un-counted turns never evict counted ones.
+    """
+    if keep not in ("suffix", "prefix"):
+        raise ValueError(f"keep must be 'suffix' or 'prefix', got {keep!r}")
+    order = F.col(idx_col).desc() if keep == "suffix" else F.col(idx_col).asc()
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("cum_tokens", F.sum(tokens_col).over(w)).where(
+        F.col("cum_tokens") <= F.lit(budget)
+    )

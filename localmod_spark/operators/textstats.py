@@ -63,12 +63,14 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_text_features(documents: DataFrame) -> DataFrame:
+def doc_text_features(documents: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """Per-document SQL-side heuristics (caps ratio, token count, stop-word
     ratio, spam-ish flags) — one projection, zero shuffles, fully
-    whole-stage-codegen."""
+    whole-stage-codegen.  ``keep_cols`` carries source columns through the
+    projection (still zero shuffles — cheaper than joining them back)."""
     return documents.select(
         "doc_id",
+        *keep_cols,
         caps_ratio_col("text").alias("caps_ratio"),
         token_count_col("text").alias("n_tokens"),
         stopword_ratio_col("text").alias("stopword_ratio"),
