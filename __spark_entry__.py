@@ -542,7 +542,9 @@ def _q_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
         .select(
-            F.format_string("user:%d", F.col("user_id").cast("long")).alias("key"),
+            F.concat(F.lit("user:"), F.col("user_id").cast("long").cast("string")).alias(
+                "key"
+            ),
             *[
                 F.coalesce(F.col(t), F.lit(0)).cast("double").alias(f"c{i + 1}")
                 for i, t in enumerate(types)
@@ -558,7 +560,7 @@ def _q_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("c4"),
         )
         .select(
-            F.format_string("pctl:%s", "event_type").alias("key"),
+            F.concat(F.lit("pctl:"), F.col("event_type")).alias("key"),
             "c1",
             "c2",
             "c3",
@@ -638,23 +640,6 @@ def _q_user_event_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sect(anti, "no_big_purchase")
         .unionByName(_sect(setops, "click_not_buy"))
         .unionByName(topk)
-    )
-
-
-def _q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot event counts per user into columns."""
-    from localmod_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        events.groupBy("user_id")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .select(
-            F.col("user_id").cast("long").alias("user_id"),
-            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
-        )
     )
 
 
@@ -2737,22 +2722,22 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
-                     FROM documents WHERE doc_id % 2 = 0),
+                     FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
             eo_c AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
-                     FROM documents WHERE doc_id % 2 = 1),
+                     FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
             ld_b AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
-                     FROM documents),
+                     FROM documents WHERE n_chars IS NOT NULL),
             ld_c AS (SELECT CASE WHEN n_chars > 60 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 180 THEN 1 ELSE 0 END
                           + CASE WHEN n_chars > 240 THEN 1 ELSE 0 END AS b
-                     FROM documents WHERE n_chars > 120),
+                     FROM documents WHERE n_chars > 120 AND n_chars IS NOT NULL),
             bl AS (SELECT CAST(range AS INT) AS b FROM range(5)),
             psi1 AS (
                 SELECT round(sum((q.sh - p.sh) * ln(q.sh / p.sh)), 6) AS v

@@ -44,6 +44,10 @@ _WORD_BITS = 64
 
 def _bit_positions(col, num_bits: int, k: int, seed: int):
     """The k bit positions for one key column (list of int columns)."""
+    if k < 1:
+        # k=0 would make EVERY probe vacuously "definitely new" and admit
+        # known duplicates — fail loudly instead
+        raise ValueError(f"k must be >= 1, got {k}")
     # pmod over a power of two == mask; spelled pmod for clarity and
     # for engines without bit ops on negative hashes
     return [
@@ -140,8 +144,14 @@ def incremental_exact_dedup(
     """
     if bloom is None:
         return batch.join(corpus_keys.select(key_col).distinct(), key_col, "left_anti")
-    flagged = bloom_maybe_contains(
-        batch, bloom, key_col, num_bits=num_bits, k=k, seed=seed, out_col="_maybe"
+    from localmod_spark.cache_registry import register_stage_cache
+
+    # both union branches reference this subtree; persist it so the
+    # batch scan + probe join run once, not once per branch
+    flagged = register_stage_cache(
+        bloom_maybe_contains(
+            batch, bloom, key_col, num_bits=num_bits, k=k, seed=seed, out_col="_maybe"
+        ).persist()
     )
     definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
     verified_new = (

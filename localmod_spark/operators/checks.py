@@ -169,14 +169,20 @@ def conversation_checks(
     """
     w = Window.partitionBy(conv_col).orderBy(idx_col)
     prev_ts = F.lag(ts_col).over(w)
+    # coalesce the indicators to 0: a NULL role or ts makes the predicate
+    # UNKNOWN, and F.min would silently SKIP it — a structural field being
+    # null must count as a violation, not vanish from the conjunction
     rows = df.select(
         F.col(conv_col).alias("_conv"),
         F.col(idx_col).alias("_idx"),
         F.col(role_col).alias("_role"),
-        (prev_ts.isNull() | (prev_ts <= F.col(ts_col))).cast("long").alias("_ts_ok"),
-        ((F.col(role_col) == tool_role) == F.col(tool_col).isNotNull())
-        .cast("long")
-        .alias("_tool_ok"),
+        F.coalesce(
+            (prev_ts.isNull() | (prev_ts <= F.col(ts_col))).cast("long"), F.lit(0)
+        ).alias("_ts_ok"),
+        F.coalesce(
+            ((F.col(role_col) == tool_role) == F.col(tool_col).isNotNull()).cast("long"),
+            F.lit(0),
+        ).alias("_tool_ok"),
     )
     conv = rows.groupBy("_conv").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -197,7 +203,7 @@ def conversation_checks(
             ).cast("long")
         ).alias("_dense"),
         F.sum("_ts_ok").alias("_mono"),
-        F.sum((F.col("_role0") == first_role).cast("long")).alias("_first"),
+        F.sum(F.col("_role0").eqNullSafe(first_role).cast("long")).alias("_first"),
         F.sum("_tool_ok").alias("_tool"),
     )
     checks = [
@@ -236,10 +242,16 @@ def psi_drift(
 
     ``breaks`` are EXPLICIT bucket edges (bucket i = #{edges < value}) so
     the metric is deterministic and cross-engine checkable — no
-    quantile estimation inside the check.  Both sides reduce to one
-    #buckets-row table (grouped conditional counts, map-side combined);
-    the join that follows is over ≤ len(breaks)+1 rows.  Laplace-smoothed
-    (+0.5 per bucket) so empty buckets never produce infinities.
+    quantile estimation inside the check.  NULL values are EXCLUDED from
+    both sides (a share-of-nulls completeness check is
+    :func:`completeness_check`'s job; folding them into a bucket would
+    bias every other share).  Both sides reduce to one #buckets-row
+    count table (grouped conditional counts, map-side combined) and the
+    totals are derived IN-PLAN from those counts via a window over the
+    ≤ #buckets joined rows — constructing the result runs NO driver
+    actions.  Laplace-smoothed (+0.5 per bucket) so empty buckets never
+    produce infinities; an empty side degrades to the uniform
+    distribution.
 
     Output shape matches :func:`check_suite` rows with the INVERTED
     comparison made explicit in the check name: ``pass_share`` carries
@@ -253,29 +265,26 @@ def psi_drift(
             b = b + (c > F.lit(float(e))).cast("int")
         return b
 
-    def shares(df: DataFrame, name: str) -> DataFrame:
-        counts = df.select(bucket(F.col(col)).alias("_b")).groupBy("_b").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        total = F.sum("_n").over(Window.partitionBy())
-        return counts.select(
-            "_b", ((F.col("_n") + F.lit(0.5)) / (total + F.lit(0.5 * k))).alias(name)
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(bucket(F.col(col)).alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias(name))
         )
 
     all_buckets = base.sparkSession.range(k).select(F.col("id").cast("int").alias("_b"))
-    nb = base.count()
-    nc = current.count()
-    p = shares(base, "_p")
-    q = shares(current, "_q")
-    joined = (
-        all_buckets.join(p, "_b", "left")
-        .join(q, "_b", "left")
-        .select(
-            F.coalesce("_p", F.lit(0.5 / (nb + 0.5 * k))).alias("_p"),
-            F.coalesce("_q", F.lit(0.5 / (nc + 0.5 * k))).alias("_q"),
-        )
+    j = all_buckets.join(counts(base, "_nb"), "_b", "left").join(
+        counts(current, "_nc"), "_b", "left"
     )
-    psi = joined.agg(
+    w = Window.partitionBy()
+    nb = F.coalesce(F.sum("_nb").over(w), F.lit(0))
+    nc = F.coalesce(F.sum("_nc").over(w), F.lit(0))
+    shares = j.select(
+        ((F.coalesce(F.col("_nb"), F.lit(0)) + 0.5) / (nb + F.lit(0.5 * k))).alias("_p"),
+        ((F.coalesce(F.col("_nc"), F.lit(0)) + 0.5) / (nc + F.lit(0.5 * k))).alias("_q"),
+    )
+    psi = shares.agg(
         F.round(F.sum((F.col("_q") - F.col("_p")) * F.log(F.col("_q") / F.col("_p"))), 6).alias(
             "_psi"
         )

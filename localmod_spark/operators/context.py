@@ -261,6 +261,8 @@ def truncate_to_budget(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn("cum_tokens", F.sum(tokens_col).over(w)).where(
-        F.col("cum_tokens") <= F.lit(budget)
-    )
+    # coalesce BEFORE the sum: a frame of only-NULL costs would otherwise
+    # yield a NULL running total, and `NULL <= budget` would drop the
+    # newest turns — the opposite of the free-rider contract above
+    cum = F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(w)
+    return df.withColumn("cum_tokens", cum).where(F.col("cum_tokens") <= F.lit(budget))

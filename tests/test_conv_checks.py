@@ -198,3 +198,59 @@ def test_bloom_rejects_unaligned_bits(spark):
     df = spark.range(1).select(F.lit("x").alias("text"))
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(df, "text", num_bits=100)
+
+
+def test_truncate_null_tokens_cost_zero(spark):
+    """Review fix: a NULL-cost turn at the kept end must not NULL the
+    running sum and evict the newest turns."""
+    from localmod_spark.operators.context import truncate_to_budget
+
+    rows = [("a", 0, 10), ("a", 1, None), ("a", 2, None)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    kept = truncate_to_budget(df, budget=100, keep="suffix")
+    got = sorted((r["turn_idx"], r["cum_tokens"]) for r in kept.collect())
+    assert got == [(0, 10), (1, 0), (2, 0)]
+
+
+def test_conversation_checks_null_fields_are_violations(spark):
+    """Review fix: NULL role/ts must count as violations, not vanish
+    from the per-conversation AND."""
+    from localmod_spark.operators.checks import conversation_checks
+
+    rows = [
+        # conv a: role NULL on a turn carrying a tool payload
+        ("a", 0, "user", None, _ts(0)),
+        ("a", 1, None, "search", _ts(1)),
+        # conv b: ts NULL mid-conversation
+        ("b", 0, "user", None, _ts(0)),
+        ("b", 1, "assistant", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    out = {r["check"]: r["pass_share"] for r in conversation_checks(df).collect()}
+    assert out["tool_iff_role(tool)"] == pytest.approx(0.5)  # conv a fails
+    assert out["monotone(ts)"] == pytest.approx(0.5)  # conv b fails
+
+
+def test_psi_drift_ignores_nulls_and_runs_no_jobs_at_build(spark):
+    from localmod_spark.operators.checks import psi_drift
+
+    base = spark.createDataFrame([(10.0,), (None,), (None,)], "v double")
+    cur = spark.createDataFrame([(10.0,)], "v double")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    row_df = psi_drift(base, cur, "v", [50.0], max_psi=0.25)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # construction is lazy — no driver actions
+    row = row_df.collect()[0]
+    # nulls excluded from BOTH sides -> identical distributions -> psi 0
+    assert row["pass_share"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_bloom_rejects_nonpositive_k(spark):
+    from localmod_spark.operators.bloom import build_bloom
+
+    df = spark.range(1).select(F.format_string("x%d", "id").alias("text"))
+    with pytest.raises(ValueError, match="k must be"):
+        build_bloom(df, "text", num_bits=1 << 10, k=0)
