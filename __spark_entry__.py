@@ -166,15 +166,27 @@ def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
-def _q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_turn_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three per-event window primitives of the context stage in one
+    slot (stable turn ordering, repetition flag, time-range rolling
+    aggregate) — all share ONE partitioning, so Catalyst plans a single
+    exchange + sort for the row_number/lag pair and the range frame."""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wr = Window.partitionBy("user_id").orderBy(us).rangeBetween(
+        -3600 * 1_000_000, 0
+    )
     return events.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
         F.row_number().over(w).cast("long").alias("rn"),
+        F.coalesce(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(False)
+        ).alias("is_repeat"),
+        F.round(F.sum("value").over(wr), 2).alias("roll_value_1h"),
     )
 
 
@@ -207,17 +219,83 @@ def _q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_conv_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity keep/drop rollup (operators/convmod.py)
+    over the events table with SQL-derivable per-turn flags (error
+    events are 'flagged'; error+value>200 ranks 'high') so the real
+    operator's share/severity/reason logic is DuckDB-checkable."""
+    from localmod_spark.operators.convmod import conv_decision
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
-        F.col("event_id").cast("long").alias("event_id"),
-        F.coalesce(
-            F.col("event_type") == F.lag("event_type").over(w), F.lit(False)
-        ).alias("is_repeat"),
+    turns = events.select(
+        F.col("user_id").alias("conv_id"),
+        (F.col("event_type") == "error").alias("flagged"),
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 200), "high"
+        )
+        .when(F.col("event_type") == "error", "medium")
+        .otherwise("none")
+        .alias("severity"),
     )
+    d = conv_decision(turns, max_flag_share=0.25, drop_severity="high")
+    return d.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        "flag_share",
+        "max_severity",
+        "conv_keep",
+        F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
+    )
+
+
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational diagnostics (operators/diagnostics.py), one key-keyed
+    union: 'sum' = key-skew summary over events.user_id (n_keys, total,
+    max count, skew factor); 'top:<user>' = the 10 heaviest keys with
+    share and rank; 'audit:<type>:<event>' = 3 deterministic
+    hash-ordered audit samples per event type via the bounded-window
+    scalable path (equal to the plain sampler by construction)."""
+    from localmod_spark.operators.diagnostics import (
+        audit_sample_scalable,
+        heavy_hitters,
+        key_skew_stats,
+    )
+    from localmod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    summary = key_skew_stats(events, "user_id").select(
+        F.lit("sum").alias("key"),
+        F.col("n_keys").cast("double").alias("c1"),
+        F.col("total").cast("double").alias("c2"),
+        F.col("max_cnt").cast("double").alias("c3"),
+        F.col("skew_factor").alias("c4"),
+    )
+    top = heavy_hitters(events, "user_id", top_n=10).select(
+        F.concat(F.lit("top:"), F.col("key").cast("long").cast("string")).alias(
+            "key"
+        ),
+        F.col("cnt").cast("double").alias("c1"),
+        F.col("share").alias("c2"),
+        F.col("rank").cast("double").alias("c3"),
+        F.lit(0.0).alias("c4"),
+    )
+    aud = audit_sample_scalable(
+        events, "event_type", "event_id", n_per=3, seed=0
+    ).select(
+        F.concat(
+            F.lit("audit:"),
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("event_id").cast("long").cast("string"),
+        ).alias("key"),
+        F.col("sample_rank").cast("double").alias("c1"),
+        F.lit(0.0).alias("c2"),
+        F.lit(0.0).alias("c3"),
+        F.lit(0.0).alias("c4"),
+    )
+    return summary.unionByName(top).unionByName(aud)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,25 +1016,6 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("user_id").cast("long").alias("user_id"), "n_clicks", "click_value")
 
 
-def _q_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-range rolling aggregate: per event, the same user's value sum
-    over the trailing hour (RANGE frame on the time axis — peers at equal
-    ts share the frame, so the result is tie-deterministic)."""
-    from localmod_spark.sources.tables import load_table
-
-    events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(us)
-        .rangeBetween(-3600 * 1_000_000, 0)
-    )
-    return events.select(
-        F.col("event_id").cast("long").alias("event_id"),
-        F.round(F.sum("value").over(w), 2).alias("roll_value_1h"),
-    )
-
-
 def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedy fill of 512-token training windows in
     doc_id order per (lang, 200-doc block) group — packing is sequential
@@ -1576,9 +1635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _shipped(_q_text_features),
         "exact_dedup": _shipped(_q_exact_dedup),
         "bloom_dedup": _shipped(_q_bloom_dedup),
-        "turn_ordering": _shipped(_q_turn_ordering),
+        "turn_windows": _shipped(_q_turn_windows),
         "user_activity": _shipped(_q_user_activity),
-        "repetition": _shipped(_q_repetition),
+        "conv_decisions": _shipped(_q_conv_decisions),
+        "skew_audit": _shipped(_q_skew_audit),
         "sessionize": _shipped(_q_sessionize),
         "pricing_summary": _shipped(_q_pricing_summary),
         "revenue_by_nation": _shipped(_q_revenue_by_nation),
@@ -1599,7 +1659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_truncate": _shipped(_q_conv_truncate),
         "asof_click": _shipped(_q_asof_click),
         "interval_join": _shipped(_q_interval_join),
-        "rolling_value": _shipped(_q_rolling_value),
         "greedy_pack": _shipped(_q_greedy_pack),
         "decontaminate": _shipped(_q_decontaminate),
         "quality_checks": _shipped(_q_quality_checks),
@@ -2448,10 +2507,60 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM documents c
                 WHERE c.doc_id % 4 <> 0 AND c.text = b.text)
         """,
-        "turn_ordering": """
+        "turn_windows": """
             SELECT event_id, user_id,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   coalesce(event_type = lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id), FALSE) AS is_repeat,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 2) AS roll_value_1h
             FROM events
+        """,
+        "conv_decisions": """
+            WITH t AS (
+                SELECT user_id AS conv_id, count(*) AS n,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS nf,
+                       max(CASE WHEN event_type = 'error' AND value > 200 THEN 3
+                                WHEN event_type = 'error' THEN 2 ELSE 0 END) AS mr
+                FROM events GROUP BY user_id
+            )
+            SELECT conv_id, n AS n_turns, CAST(nf AS BIGINT) AS n_flagged,
+                   round(nf * 1.0 / n, 6) AS flag_share,
+                   CASE mr WHEN 3 THEN 'high' WHEN 2 THEN 'medium'
+                           ELSE 'none' END AS max_severity,
+                   NOT (nf * 1.0 / n > 0.25 OR mr >= 3) AS conv_keep,
+                   CASE WHEN nf * 1.0 / n > 0.25 AND mr >= 3 THEN 'flag_share+severity'
+                        WHEN nf * 1.0 / n > 0.25 THEN 'flag_share'
+                        WHEN mr >= 3 THEN 'severity' ELSE '' END AS drop_reason
+            FROM t
+        """,
+        "skew_audit": """
+            WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+            s AS (SELECT count(*) AS nk, sum(cnt) AS tot, max(cnt) AS mx,
+                         avg(cnt) AS av FROM c),
+            top AS (SELECT user_id, cnt,
+                           row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+                    FROM c QUALIFY rk <= 10),
+            aud AS (SELECT event_type, event_id,
+                           row_number() OVER (
+                               PARTITION BY event_type
+                               ORDER BY md5(CAST(event_id AS VARCHAR) || ':0'), event_id
+                           ) AS rk
+                    FROM events QUALIFY rk <= 3)
+            SELECT 'sum' AS key, CAST(nk AS DOUBLE) AS c1, CAST(tot AS DOUBLE) AS c2,
+                   CAST(mx AS DOUBLE) AS c3, round(mx / av, 6) AS c4
+            FROM s
+            UNION ALL
+            SELECT 'top:' || user_id, CAST(cnt AS DOUBLE),
+                   round(cnt / (SELECT CAST(tot AS DOUBLE) FROM s), 6),
+                   CAST(rk AS DOUBLE), 0.0
+            FROM top
+            UNION ALL
+            SELECT 'audit:' || event_type || ':' || event_id,
+                   CAST(rk AS DOUBLE), 0.0, 0.0, 0.0
+            FROM aud
         """,
         "user_activity": """
             SELECT user_id,
@@ -2461,12 +2570,6 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS error_share,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY user_id
-        """,
-        "repetition": """
-            SELECT event_id,
-                   coalesce(event_type = lag(event_type) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id), FALSE) AS is_repeat
-            FROM events
         """,
         "sessionize": """
             WITH gaps AS (
@@ -2794,14 +2897,6 @@ def oracle_sql() -> dict[str, str]:
             eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0)
             SELECT dg.doc_id, count(*) AS n_shared_grams
             FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id
-        """,
-        "rolling_value": """
-            SELECT event_id,
-                   round(sum(value) OVER (
-                       PARTITION BY user_id ORDER BY ts
-                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-                   ), 2) AS roll_value_1h
-            FROM events
         """,
         "greedy_pack": """
             WITH RECURSIVE d AS (

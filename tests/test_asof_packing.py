@@ -120,6 +120,6 @@ def test_rolling_and_asof_queries_run(spark):
     import __spark_entry__ as em
 
     q = em.queries()
-    for name in ("asof_click", "interval_join", "rolling_value", "greedy_pack"):
+    for name in ("asof_click", "interval_join", "turn_windows", "greedy_pack"):
         df = q[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
