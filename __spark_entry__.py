@@ -170,7 +170,8 @@ def _q_turn_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three per-event window primitives of the context stage in one
     slot (stable turn ordering, repetition flag, time-range rolling
     aggregate) — all share ONE partitioning, so Catalyst plans a single
-    exchange + sort for the row_number/lag pair and the range frame."""
+    exchange (the rank/lag pair shares one sort; the range frame's
+    time-axis ordering adds a second sort, no extra shuffle)."""
     from localmod_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")

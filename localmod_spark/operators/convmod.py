@@ -97,6 +97,12 @@ def with_conv_decision(turns: DataFrame, **kwargs) -> DataFrame:
     :func:`conv_decision`."""
     conv_col = kwargs.get("conv_col", "conv_id")
     decisions = conv_decision(turns, **kwargs).select(
-        F.col("conv_id").alias(conv_col), "conv_keep", "drop_reason"
+        F.col("conv_id").alias("_dconv"), "conv_keep", "drop_reason"
     )
-    return turns.join(decisions, conv_col, "left")
+    # null-safe: a NULL conv_id is one (malformed) conversation group in
+    # the aggregate, and a plain equality join would silently give its
+    # turns conv_keep=NULL — letting critical-severity turns through a
+    # `conv_keep == False` quarantine filter
+    return turns.join(
+        decisions, F.col(conv_col).eqNullSafe(F.col("_dconv")), "left"
+    ).drop("_dconv")

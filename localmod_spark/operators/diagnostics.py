@@ -95,12 +95,19 @@ def audit_sample(
     md5(id, seed) per category, with ``sample_rank`` (1-based).  Stable
     across reruns, partitionings and input file order.
 
+    Same exact-N shape as `operators/sampling.sample_exact_n` (kept
+    separate for the visible rank, the ``:seed`` hash salt the oracle
+    replays, and the scalable variant below) and the same NULL-id rule:
+    rows with a NULL id are EXCLUDED — a NULL hash would sort first
+    under asc and occupy audit slot 1 in every category for every seed.
+
     This plain form windows over EVERY row of each category — fine when
     no category is huge; for skewed categories use
     :func:`audit_sample_scalable`.
     """
     if n_per < 1:
         raise ValueError(f"n_per must be >= 1, got {n_per}")
+    df = df.where(F.col(id_col).isNotNull())
     h = _audit_hash(id_col, seed)
     w = Window.partitionBy(category_col).orderBy(h.asc(), F.col(id_col).asc())
     return df.withColumn("sample_rank", F.row_number().over(w)).where(
@@ -131,15 +138,22 @@ def audit_sample_scalable(
     re-sampled exactly via the plain path — the result is equal to
     :func:`audit_sample` by construction, not approximately.
 
-    The shortfall check collects one row per category; like the
-    per-stratum counts in `operators/sampling.py`, that is bounded by
-    the category cardinality, which is small by definition for an audit
-    dimension (language, severity, event type, ...).
+    The shortfall check collects one row per category AT CONSTRUCTION
+    TIME; like the per-stratum counts in `operators/sampling.py`, it is
+    bounded by the category cardinality, which is small by definition
+    for an audit dimension (language, severity, event type, ...).  The
+    count table and the sampled rows it reads are persisted (shared
+    cache registry), so the probe's work is reused by the returned
+    plan, not recomputed.  NULL ids are excluded exactly as in
+    :func:`audit_sample`.
     """
     if n_per < 1:
         raise ValueError(f"n_per must be >= 1, got {n_per}")
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    from localmod_spark.cache_registry import register_stage_cache
+
+    df = df.where(F.col(id_col).isNotNull())
     h = _audit_hash(id_col, seed)
     # numeric value of the first 15 hex digits, in [0, 1): monotone with
     # the lexicographic order of the full digest, so a threshold on it is
@@ -147,8 +161,13 @@ def audit_sample_scalable(
     frac = F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
         float(16**15)
     )
-    counts = df.groupBy(F.col(category_col).alias("_cat")).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # both the survivors join and the shortfall probe read the count
+    # table, and the probe plus the returned plan read the sampled rows:
+    # persist both so the input scans and the prefilter+window run once
+    counts = register_stage_cache(
+        df.groupBy(F.col(category_col).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
     )
     rate = F.least(F.lit(1.0), F.lit(float(oversample * n_per)) / F.col("_cnt"))
     survivors = (
@@ -157,10 +176,11 @@ def audit_sample_scalable(
         .drop("_cat")
     )
     w = Window.partitionBy(category_col).orderBy(h.asc(), F.col(id_col).asc())
-    sampled = (
+    sampled = register_stage_cache(
         survivors.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n_per)
         .drop("_cnt")
+        .persist()
     )
     # bounded shortfall probe: one row per category (null-safe so a NULL
     # category behaves exactly as in the plain path)

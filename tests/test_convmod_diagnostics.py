@@ -208,6 +208,30 @@ def test_audit_sample_scalable_null_category(spark):
     assert plain.where(F.col("cat").isNull()).count() == 2
 
 
+def test_audit_sample_null_ids_excluded_both_paths(spark):
+    """Review fix: a NULL id must not hash NULL, sort first and occupy
+    audit slot 1 (and the scalable path must stay equal to plain)."""
+    rows = [(1, None), (1, 10), (1, 11), (1, 12)]
+    df = spark.createDataFrame(rows, "cat int, id long")
+    plain = audit_sample(df, "cat", "id", n_per=2, seed=0)
+    assert sorted(r["id"] for r in plain.collect()) == sorted(
+        [10, 11, 12],
+        key=lambda i: hashlib.md5(f"{i}:0".encode()).hexdigest(),
+    )[:2]
+    scal = audit_sample_scalable(df, "cat", "id", n_per=2, seed=0, oversample=8)
+    _assert_same_sample(plain, scal)
+
+
+def test_with_conv_decision_null_conv_id(spark):
+    """Review fix: the NULL-conv group's decision must join back to its
+    turns (plain equality would leave conv_keep NULL)."""
+    rows = [(None, True, "critical"), (None, True, "critical"), ("a", False, "none")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = with_conv_decision(df, max_flag_share=0.9, drop_severity="high")
+    got = {(r["conv_id"], r["conv_keep"]) for r in out.collect()}
+    assert got == {(None, False), ("a", True)}
+
+
 def test_audit_sample_rejects_bad_params(spark):
     df = _events(spark, {1: 3})
     with pytest.raises(ValueError, match="n_per"):
