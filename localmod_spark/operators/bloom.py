@@ -33,13 +33,16 @@ the mod is a mask).
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 _WORD_BITS = 64
+_DATA_SUBDIR = "words"
+_PARAMS_SUBDIR = "_bloom_params"
 
 
 def _bit_positions(col, num_bits: int, k: int, seed: int):
@@ -160,3 +163,90 @@ def incremental_exact_dedup(
         .join(corpus_keys.select(key_col).distinct(), key_col, "left_anti")
     )
     return definitely_new.unionByName(verified_new)
+
+
+def extend_bloom(
+    bloom: DataFrame,
+    new_keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 23,
+    k: int = 5,
+    seed: int = 77,
+) -> DataFrame:
+    """Fold a new key batch into an existing word table (daily-ingest
+    shape: the corpus filter is EXTENDED, never rebuilt).  Union the new
+    batch's words and re-``bit_or`` — bitwise OR is associative, so the
+    result EQUALS a fresh build over the union of both key sets
+    (equality-tested).  Parameters must match the original build;
+    persist the result with :func:`save_bloom` to keep them attached."""
+    add = build_bloom(new_keys, key_col, num_bits=num_bits, k=k, seed=seed)
+    return (
+        bloom.unionByName(add).groupBy("word_ix").agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_stats(bloom: DataFrame, num_bits: int, k: int = 5) -> DataFrame:
+    """One-row health check of a word table: words present, bits set,
+    fill ratio, and the resulting false-positive estimate fill^k — the
+    saturation signal that says "shard or grow ``num_bits``" long before
+    the verification join degrades to a full corpus probe."""
+    return bloom.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("word")).alias("bits_set"),
+    ).select(
+        "n_words",
+        "bits_set",
+        F.round(F.col("bits_set") / F.lit(float(num_bits)), 6).alias("fill_ratio"),
+        F.round(
+            F.pow(F.col("bits_set") / F.lit(float(num_bits)), F.lit(k)), 6
+        ).alias("est_fpr"),
+    )
+
+
+def save_bloom(
+    bloom: DataFrame,
+    path: str,
+    num_bits: int,
+    k: int,
+    seed: int,
+    n_keys: int = 0,
+) -> None:
+    """Persist the word table plus its build parameters as one artifact.
+
+    Probing with mismatched (num_bits, k, seed) silently voids the
+    zero-false-negative guarantee, so the parameters travel WITH the
+    words and :func:`load_bloom` hands them back.  Same crash discipline
+    as `plans/ann_truth.py`: when overwriting, the old params marker is
+    deleted FIRST, data is written next and the params row LAST — any
+    crash window leaves an artifact that fails to load rather than one
+    that probes wrong.  ``n_keys`` is the cumulative key count (caller
+    maintained across :func:`extend_bloom` folds) for fpr bookkeeping.
+    """
+    spark = bloom.sparkSession
+    params_dir = os.path.join(path, _PARAMS_SUBDIR)
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    fs, hkey = _hadoop_fs(spark, params_dir)
+    fs.delete(hkey, True)
+    bloom.write.mode("overwrite").parquet(os.path.join(path, _DATA_SUBDIR))
+    spark.createDataFrame(
+        [(int(num_bits), int(k), int(seed), int(n_keys))],
+        "num_bits long, k int, seed int, n_keys long",
+    ).coalesce(1).write.mode("overwrite").parquet(params_dir)
+
+
+def load_bloom(spark: SparkSession, path: str) -> Tuple[DataFrame, dict]:
+    """Load a :func:`save_bloom` artifact → (word table, params dict).
+    Raises on a missing/orphaned params marker (a half-written artifact
+    must never be probed)."""
+    try:
+        rows = spark.read.parquet(os.path.join(path, _PARAMS_SUBDIR)).collect()
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"no readable bloom params at {path} — artifact absent or "
+            "half-written (save_bloom writes params last); rebuild it"
+        ) from e
+    if len(rows) != 1:
+        raise ValueError(f"bloom params at {path} must be one row, got {len(rows)}")
+    params = rows[0].asDict()
+    return spark.read.parquet(os.path.join(path, _DATA_SUBDIR)), params

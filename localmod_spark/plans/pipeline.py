@@ -133,6 +133,7 @@ def run_pipeline(
     max_concurrent_waves: int = 1,
     partition_by_day: bool = False,
     max_concurrent_output_writers: Optional[int] = 64,
+    conv_rollup: Optional[dict] = None,
 ) -> PipelineResult:
     """Score every turn, wave by wave, committing lineage as we go.
 
@@ -166,6 +167,16 @@ def run_pipeline(
     instead of scanning the whole output (plan-asserted in
     tests/test_plan_quality.py); resume semantics are unchanged because
     the atomic unit is still the wave dir overwrite.
+
+    ``conv_rollup`` (kwargs for `operators/convmod.with_conv_decision`,
+    e.g. ``{"max_flag_share": 0.2, "drop_severity": "high"}``) adds the
+    conversation-level decision columns (``conv_keep``, ``drop_reason``)
+    to every turn.  The rollup runs per wave, which is GLOBALLY correct
+    because the wave key is a hash bucket of conv_id — a conversation
+    never straddles waves; the grouped decision reuses the wave's own
+    conv-keyed exchange.  The rollup changes the output schema, so it is
+    part of the resume layout key: waves written without it rerun under
+    it (and vice versa) instead of being skipped with the wrong columns.
     """
     cfg = cfg or DEFAULT_CONFIG
     if stage not in ("persist", "write", "rescan"):
@@ -203,6 +214,8 @@ def run_pipeline(
             staged.write.mode("overwrite").partitionBy(WAVE_COL).parquet(staging_dir)
             staged = spark.read.parquet(staging_dir)
         layout = "day" if partition_by_day else "flat"
+        if conv_rollup is not None:
+            layout += "+conv"
         done = completed_waves(spark, out_dir, layout=layout) if resume else set()
         pending = [w for w in range(n_waves) if w not in done]
 
@@ -213,6 +226,10 @@ def run_pipeline(
             scored = score_turns(wave_df, cfg=cfg)
             if context:
                 scored = add_context(scored)
+            if conv_rollup is not None:
+                from localmod_spark.operators.convmod import with_conv_decision
+
+                scored = with_conv_decision(scored, **conv_rollup)
 
             # observe() collects global counters in the same action as the
             # write — no second pass over the data.
