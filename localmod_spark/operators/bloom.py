@@ -190,9 +190,11 @@ def bloom_stats(bloom: DataFrame, num_bits: int, k: int = 5) -> DataFrame:
     fill ratio, and the resulting false-positive estimate fill^k — the
     saturation signal that says "shard or grow ``num_bits``" long before
     the verification join degrades to a full corpus probe."""
+    # coalesce: an EMPTY filter (day-0 corpus) must report 0.0, not NULL
+    # — a `stats.est_fpr > threshold` alert on None never fires
     return bloom.agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.bit_count("word")).alias("bits_set"),
+        F.coalesce(F.sum(F.bit_count("word")), F.lit(0)).alias("bits_set"),
     ).select(
         "n_words",
         "bits_set",
@@ -215,24 +217,30 @@ def save_bloom(
 
     Probing with mismatched (num_bits, k, seed) silently voids the
     zero-false-negative guarantee, so the parameters travel WITH the
-    words and :func:`load_bloom` hands them back.  Same crash discipline
-    as `plans/ann_truth.py`: when overwriting, the old params marker is
-    deleted FIRST, data is written next and the params row LAST — any
-    crash window leaves an artifact that fails to load rather than one
-    that probes wrong.  ``n_keys`` is the cumulative key count (caller
-    maintained across :func:`extend_bloom` folds) for fpr bookkeeping.
+    words and :func:`load_bloom` hands them back.  Crash discipline via
+    the shared `plans/pipeline.save_marked_artifact` (tmp-write → marker
+    delete → swap → marker last): safe for the load→extend→save-IN-PLACE
+    lifecycle — the extended plan reads the artifact's own data dir, and
+    a naive overwrite would both trip Spark's self-overwrite guard and
+    torch the old filter on failure.  ``n_keys`` is the cumulative key
+    count (caller maintained across :func:`extend_bloom` folds) for fpr
+    bookkeeping.
     """
-    spark = bloom.sparkSession
-    params_dir = os.path.join(path, _PARAMS_SUBDIR)
-    from localmod_spark.plans.pipeline import _hadoop_fs
+    from localmod_spark.plans.pipeline import save_marked_artifact
 
-    fs, hkey = _hadoop_fs(spark, params_dir)
-    fs.delete(hkey, True)
-    bloom.write.mode("overwrite").parquet(os.path.join(path, _DATA_SUBDIR))
-    spark.createDataFrame(
+    spark = bloom.sparkSession
+    params = spark.createDataFrame(
         [(int(num_bits), int(k), int(seed), int(n_keys))],
         "num_bits long, k int, seed int, n_keys long",
-    ).coalesce(1).write.mode("overwrite").parquet(params_dir)
+    )
+    save_marked_artifact(
+        spark,
+        path,
+        bloom,
+        params,
+        data_subdir=_DATA_SUBDIR,
+        marker_subdir=_PARAMS_SUBDIR,
+    )
 
 
 def load_bloom(spark: SparkSession, path: str) -> Tuple[DataFrame, dict]:

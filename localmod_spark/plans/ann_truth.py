@@ -90,19 +90,18 @@ def staged_knn_truth(
     truth = knn_join(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col(id_col).alias("vec_id")
     )
-    if stored is not None:
-        # RE-staging: invalidate the old key BEFORE touching the data —
-        # otherwise a crash between the data overwrite and the key write
-        # leaves old-key + new-data, which a later run whose inputs match
-        # the OLD key would silently trust
-        from localmod_spark.plans.pipeline import _hadoop_fs
+    # shared crash discipline (tmp-write → old key deleted BEFORE the
+    # swap → key row LAST): a crash never leaves old-key + new-data,
+    # which a later run whose inputs match the OLD key would silently
+    # trust, and never an orphan data dir that is trusted
+    from localmod_spark.plans.pipeline import save_marked_artifact
 
-        fs, hkey = _hadoop_fs(spark, os.path.join(truth_dir, _KEY_SUBDIR))
-        fs.delete(hkey, True)
-    # data first, key LAST: an orphan data dir (crash in between) fails
-    # the key check and recomputes — never trusted silently
-    truth.write.mode("overwrite").parquet(data_dir)
-    spark.createDataFrame([(key,)], "key string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(truth_dir, _KEY_SUBDIR))
+    save_marked_artifact(
+        spark,
+        truth_dir,
+        truth,
+        spark.createDataFrame([(key,)], "key string"),
+        data_subdir=_DATA_SUBDIR,
+        marker_subdir=_KEY_SUBDIR,
+    )
     return spark.read.parquet(data_dir)

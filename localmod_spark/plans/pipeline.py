@@ -67,6 +67,45 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def save_marked_artifact(
+    spark: SparkSession,
+    path: str,
+    data_df: DataFrame,
+    marker_df: DataFrame,
+    data_subdir: str = "data",
+    marker_subdir: str = "_key",
+) -> None:
+    """Crash-safe overwrite of a <data, marker> artifact pair, shared by
+    the bloom and ANN-truth artifacts.  SAFE when ``data_df``'s plan
+    reads the artifact's own current data dir (the load→transform→
+    save-in-place lifecycle): the new data is written to a tmp sibling
+    first, so Spark's self-overwrite guard never fires and the OLD
+    artifact stays fully loadable until the marker delete.  Order:
+
+      1. write new data to a tmp dir (old artifact still valid);
+      2. delete the marker — from here the artifact refuses to load;
+      3. swap tmp into place (delete old data, same-FS rename);
+      4. write the one-row marker LAST.
+
+    Every crash window leaves either the intact old artifact (before 2)
+    or one that fails its load/key check (2-4) — never one that loads
+    wrong."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs, _ = _hadoop_fs(spark, path)
+    data_dir = os.path.join(path, data_subdir)
+    tmp_dir = os.path.join(
+        path, f"_tmp_{data_subdir}_{os.getpid()}_{int(time.time() * 1000)}"
+    )
+    data_df.write.mode("overwrite").parquet(tmp_dir)
+    fs.delete(jpath(os.path.join(path, marker_subdir)), True)
+    fs.delete(jpath(data_dir), True)
+    if not fs.rename(jpath(tmp_dir), jpath(data_dir)):
+        raise IOError(f"could not move staged artifact {tmp_dir} -> {data_dir}")
+    marker_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, marker_subdir)
+    )
+
+
 def completed_waves(spark: SparkSession, out_dir: str, layout: str = "flat") -> set:
     """Waves the ledger marks done WITH a matching output layout.
 
@@ -74,9 +113,13 @@ def completed_waves(spark: SparkSession, out_dir: str, layout: str = "flat") -> 
     skipped by a ``partition_by_day`` rerun (its directory has no day=
     partitions — a date-ranged consumer would break) and vice versa;
     non-matching waves rerun and their dir overwrite restores a uniform
-    layout.  Rows from before layout tracking have no ``layout`` column
-    (mergeSchema null-fills them) and count as "flat".  Missing ledger =
-    fresh run.
+    layout.  Only the LATEST ledger row per wave counts (max
+    ``finished``): the ledger is append-only, so a superseded run's rows
+    linger, and matching "any row ever appended" would let a
+    flat→day→flat (or rollup on→off) sequence skip waves whose dirs were
+    overwritten with the OTHER layout.  Rows from before layout tracking
+    have no ``layout`` column (mergeSchema null-fills them) and count as
+    "flat".  Missing ledger = fresh run.
 
     An *unreadable* ledger (corrupt page, partial file) is loudly warned
     about, not silently swallowed — otherwise resume degrades to full
@@ -88,15 +131,22 @@ def completed_waves(spark: SparkSession, out_dir: str, layout: str = "flat") -> 
     if not fs.exists(hpath):
         return set()
     try:
-        ledger = spark.read.option("mergeSchema", "true").parquet(path).where(
-            F.col("status") == "done"
-        )
+        from pyspark.sql import Window
+
+        ledger = spark.read.option("mergeSchema", "true").parquet(path)
         if "layout" not in ledger.columns:
             ledger = ledger.withColumn("layout", F.lit(None).cast("string"))
+        w = Window.partitionBy(WAVE_COL).orderBy(
+            F.coalesce(F.col("finished"), F.lit(float("-inf"))).desc()
+        )
         rows = (
-            ledger.where(F.coalesce(F.col("layout"), F.lit("flat")) == layout)
+            ledger.withColumn("_rn", F.row_number().over(w))
+            .where(
+                (F.col("_rn") == 1)
+                & (F.col("status") == "done")
+                & (F.coalesce(F.col("layout"), F.lit("flat")) == layout)
+            )
             .select(WAVE_COL)
-            .distinct()
             .collect()
         )
         return {r[WAVE_COL] for r in rows}
@@ -215,7 +265,16 @@ def run_pipeline(
             staged = spark.read.parquet(staging_dir)
         layout = "day" if partition_by_day else "flat"
         if conv_rollup is not None:
-            layout += "+conv"
+            import hashlib
+            import json
+
+            # the rollup's PARAMETERS are part of the resume key, not just
+            # its presence — resuming with a changed threshold must rerun,
+            # not keep waves decided under the old one
+            digest = hashlib.md5(
+                json.dumps(conv_rollup, sort_keys=True, default=str).encode()
+            ).hexdigest()[:8]
+            layout += f"+conv:{digest}"
         done = completed_waves(spark, out_dir, layout=layout) if resume else set()
         pending = [w for w in range(n_waves) if w not in done]
 
@@ -226,10 +285,15 @@ def run_pipeline(
             scored = score_turns(wave_df, cfg=cfg)
             if context:
                 scored = add_context(scored)
+            wave_cache = None
             if conv_rollup is not None:
                 from localmod_spark.operators.convmod import with_conv_decision
 
-                scored = with_conv_decision(scored, **conv_rollup)
+                # the rollup join-back reads the scored subtree twice
+                # (aggregate side + probe side); persist so the scoring
+                # pass runs once per wave, released after the write
+                wave_cache = scored.persist()
+                scored = with_conv_decision(wave_cache, **conv_rollup)
 
             # observe() collects global counters in the same action as the
             # write — no second pass over the data.
@@ -255,6 +319,8 @@ def run_pipeline(
                 out_df = out_df.withColumn("day", F.to_date(F.col("ts")))
                 writer = out_df.write.mode("overwrite").partitionBy("day")
             writer.parquet(os.path.join(data_path(out_dir), f"{WAVE_COL}={wave}"))
+            if wave_cache is not None:
+                wave_cache.unpersist()
             obs_row = obs.get
             rows = int(obs_row.get("rows") or 0)
             finished = time.time()

@@ -49,19 +49,26 @@ def test_extend_preserves_no_false_negatives(spark):
     assert probed.where(~F.col("maybe_seen")).count() == 0
 
 
-def test_save_load_roundtrip(spark, tmp_path):
+def test_save_load_extend_in_place(spark, tmp_path):
+    """The REAL daily lifecycle: load → extend → save back to the SAME
+    path.  The extended plan reads the artifact's own data dir, so this
+    exercises the tmp-write/swap path (a naive overwrite trips Spark's
+    self-overwrite guard AND torches the old filter on failure)."""
     path = str(tmp_path / "bloom")
     bloom = build_bloom(_keys(spark, 0, 200), "text", num_bits=BITS, k=3, seed=9)
     save_bloom(bloom, path, num_bits=BITS, k=3, seed=9, n_keys=200)
     loaded, params = load_bloom(spark, path)
     assert params == {"num_bits": BITS, "k": 3, "seed": 9, "n_keys": 200}
     assert _words(loaded) == _words(bloom)
-    # overwrite with an extended filter — params updated atomically-last
-    bigger = extend_bloom(bloom, _keys(spark, 200, 300), "text", num_bits=BITS, k=3, seed=9)
+    # extend the LOADED filter and save in place
+    bigger = extend_bloom(
+        loaded, _keys(spark, 200, 300), "text", num_bits=BITS, k=3, seed=9
+    )
     save_bloom(bigger, path, num_bits=BITS, k=3, seed=9, n_keys=300)
     loaded2, params2 = load_bloom(spark, path)
     assert params2["n_keys"] == 300
-    assert _words(loaded2) == _words(bigger)
+    fresh = build_bloom(_keys(spark, 0, 300), "text", num_bits=BITS, k=3, seed=9)
+    assert _words(loaded2) == _words(fresh)
 
 
 def test_load_refuses_half_written_artifact(spark, tmp_path):
@@ -141,3 +148,18 @@ def test_pipeline_conv_rollup_is_part_of_resume_key(spark, tmp_path):
         conv_rollup={"max_flag_share": 0.2},
     )
     assert res3.waves_run == []
+    # CHANGED rollup thresholds are a different resume key — rerun
+    res4 = run_pipeline(
+        spark,
+        turns,
+        out,
+        n_waves=2,
+        context=False,
+        conv_rollup={"max_flag_share": 0.5},
+    )
+    assert sorted(res4.waves_run) == [0, 1]
+    # and flipping the rollup OFF must rerun too, despite the stale
+    # 'flat' rows the very first run appended (latest-row-wins)
+    res5 = run_pipeline(spark, turns, out, n_waves=2, context=False)
+    assert sorted(res5.waves_run) == [0, 1]
+    assert "conv_keep" not in read_output(spark, out).columns
