@@ -34,8 +34,10 @@ if os.path.isdir(os.path.join(_ROOT, "localmod_spark")) and _ROOT not in sys.pat
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="localmod_spark moderation pipeline")
     p.add_argument(
-        "--job", choices=("moderate", "select", "export"), default="moderate",
-        help="moderate = wave-resumable scoring; select = staged corpus selection",
+        "--job", choices=("moderate", "select", "export", "bloom"), default="moderate",
+        help="moderate = wave-resumable scoring; select = staged corpus "
+        "selection; export = mix/shuffle/shard; bloom = build or extend "
+        "the corpus Bloom dedup artifact",
     )
     p.add_argument("--input", help="input transcripts: parquet path or iceberg table name")
     p.add_argument("--output", required=True, help="output directory (data/ _lineage/ _metrics/)")
@@ -78,6 +80,28 @@ def main(argv=None) -> int:
     p.add_argument(
         "--shuffle-seed", type=int, default=0,
         help="[export] deterministic shuffle seed (same seed = same shards)",
+    )
+    p.add_argument(
+        "--conv-max-flag-share", type=float, default=None,
+        help="[moderate] enable the conversation-level rollup: drop a whole "
+        "conversation when its flagged-turn share EXCEEDS this",
+    )
+    p.add_argument(
+        "--conv-drop-severity", default="high",
+        help="[moderate] rollup severity floor: any turn at/above this "
+        "severity drops the conversation (only with --conv-max-flag-share)",
+    )
+    p.add_argument(
+        "--key-col", default="text",
+        help="[bloom] column whose values the filter indexes",
+    )
+    p.add_argument("--bloom-bits", type=int, default=1 << 23, help="[bloom] filter size in bits (power of two)")
+    p.add_argument("--bloom-k", type=int, default=5, help="[bloom] hash count")
+    p.add_argument("--bloom-seed", type=int, default=77, help="[bloom] hash seed")
+    p.add_argument(
+        "--extend", action="store_true",
+        help="[bloom] fold the input's keys into the EXISTING artifact at "
+        "--output (params come from the artifact, CLI bloom params ignored)",
     )
     p.add_argument(
         "--model-dir", default=None,
@@ -135,6 +159,51 @@ def main(argv=None) -> int:
             F.lit("en").alias("lang"),
             "text",
         )
+
+    if args.job == "bloom":
+        # build (or --extend) the corpus Bloom dedup artifact from the
+        # input's key column; prints the post-write health stats
+        from pyspark.sql import functions as F
+
+        from localmod_spark.operators.bloom import (
+            bloom_stats,
+            build_bloom,
+            extend_bloom,
+            load_bloom,
+            save_bloom,
+        )
+
+        keys = _as_documents(turns)
+        n_new = keys.where(F.col(args.key_col).isNotNull()).count()
+        if args.extend:
+            existing, params = load_bloom(spark, args.output)
+            num_bits, k, seed = params["num_bits"], params["k"], params["seed"]
+            bloom = extend_bloom(
+                existing, keys, args.key_col, num_bits=num_bits, k=k, seed=seed
+            )
+            n_keys = int(params.get("n_keys") or 0) + n_new
+        else:
+            num_bits, k, seed = args.bloom_bits, args.bloom_k, args.bloom_seed
+            bloom = build_bloom(keys, args.key_col, num_bits=num_bits, k=k, seed=seed)
+            n_keys = n_new
+        save_bloom(bloom, args.output, num_bits=num_bits, k=k, seed=seed, n_keys=n_keys)
+        stats = bloom_stats(
+            spark.read.parquet(os.path.join(args.output, "words")), num_bits, k=k
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "artifact": args.output,
+                    "extended": bool(args.extend),
+                    "n_keys": n_keys,
+                    "num_bits": num_bits,
+                    "k": k,
+                    "fill_ratio": stats["fill_ratio"],
+                    "est_fpr": stats["est_fpr"],
+                }
+            )
+        )
+        return 0
 
     if args.job == "export":
         # mix → shuffle → shards: the trainer-facing artifact; input is a
@@ -217,6 +286,12 @@ def main(argv=None) -> int:
     if nsfw_fn:
         cfg = cfg._replace(nsfw_prob_fn=nsfw_fn)
 
+    conv_rollup = None
+    if args.conv_max_flag_share is not None:
+        conv_rollup = {
+            "max_flag_share": args.conv_max_flag_share,
+            "drop_severity": args.conv_drop_severity,
+        }
     res = run_pipeline(
         spark,
         turns,
@@ -227,6 +302,7 @@ def main(argv=None) -> int:
         context=not args.no_context,
         max_concurrent_waves=args.max_concurrent_waves,
         partition_by_day=args.partition_by_day,
+        conv_rollup=conv_rollup,
     )
     print(
         json.dumps(

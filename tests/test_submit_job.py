@@ -123,3 +123,48 @@ def test_submit_job_export_smoke_and_resume(tmp_path):
     assert second["stages_run"] == []
     assert second["shard_rows"] == first["shard_rows"]
     assert os.path.isdir(out + "/shards") and os.path.isdir(out + "/_lineage")
+
+
+@pytest.mark.slow
+def test_submit_job_bloom_build_and_extend(tmp_path):
+    art = str(tmp_path / "bloom_art")
+
+    def run(extra):
+        p = subprocess.run(
+            [sys.executable, SCRIPT, "--job", "bloom", "--synthetic", "300",
+             "--output", art, "--bloom-bits", str(1 << 14), "--bloom-k", "3",
+             *extra],
+            capture_output=True, text=True, timeout=420, cwd="/tmp",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    built = run([])
+    assert built["n_keys"] > 0 and not built["extended"]
+    assert 0 < built["fill_ratio"] < 1
+    assert os.path.isdir(art + "/words") and os.path.isdir(art + "/_bloom_params")
+
+    # extend in place: params come from the artifact, key count accumulates
+    extended = run(["--extend"])
+    assert extended["extended"] and extended["num_bits"] == 1 << 14
+    assert extended["n_keys"] == 2 * built["n_keys"]
+    assert extended["fill_ratio"] >= built["fill_ratio"]
+
+
+@pytest.mark.slow
+def test_submit_job_conv_rollup_flag(tmp_path):
+    out = str(tmp_path / "roll_out")
+    p = subprocess.run(
+        [sys.executable, SCRIPT, "--synthetic", "600", "--output", out,
+         "--waves", "2", "--no-context", "--conv-max-flag-share", "0.2"],
+        capture_output=True, text=True, timeout=420, cwd="/tmp",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    import glob
+
+    import pandas as pd
+
+    files = glob.glob(out + "/data/wave=*/*.parquet")
+    cols = set(pd.read_parquet(files[0]).columns)
+    assert {"conv_keep", "drop_reason"} <= cols
