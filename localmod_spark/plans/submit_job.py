@@ -86,8 +86,10 @@ def main(argv=None) -> int:
         help="[moderate] enable the conversation-level rollup: drop a whole "
         "conversation when its flagged-turn share EXCEEDS this",
     )
+    from localmod_spark.kernel.types import SEVERITIES  # pure-python, cheap
+
     p.add_argument(
-        "--conv-drop-severity", default="high",
+        "--conv-drop-severity", default="high", choices=SEVERITIES[1:],
         help="[moderate] rollup severity floor: any turn at/above this "
         "severity drops the conversation (only with --conv-max-flag-share)",
     )
@@ -113,6 +115,10 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
+    if args.conv_max_flag_share is not None and not (
+        0.0 <= args.conv_max_flag_share <= 1.0
+    ):
+        p.error("--conv-max-flag-share must be in [0, 1]")
 
     from pyspark.sql import SparkSession
 
@@ -173,23 +179,40 @@ def main(argv=None) -> int:
             save_bloom,
         )
 
-        keys = _as_documents(turns)
-        n_new = keys.where(F.col(args.key_col).isNotNull()).count()
         if args.extend:
+            # fail fast on a missing / half-written artifact BEFORE any
+            # input scan; the artifact's own params override the CLI ones
             existing, params = load_bloom(spark, args.output)
             num_bits, k, seed = params["num_bits"], params["k"], params["seed"]
+        else:
+            existing, params = None, {}
+            num_bits, k, seed = args.bloom_bits, args.bloom_k, args.bloom_seed
+        # persist the projected key column so the bookkeeping count and the
+        # build read the input once; n_keys is DISTINCT per batch (the fpr
+        # formula wants distinct n) but overlap ACROSS extend batches is
+        # unknowable without the corpus the filter replaces, so the
+        # cumulative figure is an upper bound on distinct keys
+        keys = (
+            turns  # raw input: --key-col names any of its columns
+            .select(args.key_col)
+            .where(F.col(args.key_col).isNotNull())
+            .persist()
+        )
+        n_new = keys.select(F.count_distinct(args.key_col)).first()[0]
+        if args.extend:
             bloom = extend_bloom(
                 existing, keys, args.key_col, num_bits=num_bits, k=k, seed=seed
             )
             n_keys = int(params.get("n_keys") or 0) + n_new
         else:
-            num_bits, k, seed = args.bloom_bits, args.bloom_k, args.bloom_seed
             bloom = build_bloom(keys, args.key_col, num_bits=num_bits, k=k, seed=seed)
             n_keys = n_new
         save_bloom(bloom, args.output, num_bits=num_bits, k=k, seed=seed, n_keys=n_keys)
-        stats = bloom_stats(
-            spark.read.parquet(os.path.join(args.output, "words")), num_bits, k=k
-        ).collect()[0]
+        keys.unpersist()
+        # re-load through the artifact contract: doubles as a post-write
+        # marker/params integrity check (vs. a raw path read)
+        words, _ = load_bloom(spark, args.output)
+        stats = bloom_stats(words, num_bits, k=k).collect()[0]
         print(
             json.dumps(
                 {

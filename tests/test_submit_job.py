@@ -129,27 +129,30 @@ def test_submit_job_export_smoke_and_resume(tmp_path):
 def test_submit_job_bloom_build_and_extend(tmp_path):
     art = str(tmp_path / "bloom_art")
 
-    def run(extra):
+    def run(n_synth, extra):
         p = subprocess.run(
-            [sys.executable, SCRIPT, "--job", "bloom", "--synthetic", "300",
-             "--output", art, "--bloom-bits", str(1 << 14), "--bloom-k", "3",
-             *extra],
+            [sys.executable, SCRIPT, "--job", "bloom", "--key-col", "conv_id",
+             "--synthetic", str(n_synth), "--output", art, *extra],
             capture_output=True, text=True, timeout=420, cwd="/tmp",
         )
         assert p.returncode == 0, p.stderr[-2000:]
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    built = run([])
-    assert built["n_keys"] > 0 and not built["extended"]
+    # keyed on conv_id: 300 synth turns = 3 hot + 11 uniform conversations
+    built = run(300, ["--bloom-bits", str(1 << 14), "--bloom-k", "3"])
+    assert built["n_keys"] == 14 and not built["extended"]
     assert 0 < built["fill_ratio"] < 1
     assert os.path.isdir(art + "/words") and os.path.isdir(art + "/_bloom_params")
 
-    # extend in place: params come from the artifact, key count accumulates
-    extended = run(["--extend"])
+    # extend in place with a LARGER input (new conv ids) and NO bloom params
+    # on the CLI: the artifact's own (bits, k) must win over the 1<<23/k=5
+    # defaults, the new keys must set new bits, and the distinct-per-batch
+    # key count accumulates (14 + 21 — batch overlap is not deduped)
+    extended = run(500, ["--extend"])
     assert extended["extended"] and extended["num_bits"] == 1 << 14
-    assert extended["n_keys"] == 2 * built["n_keys"]
-    assert extended["fill_ratio"] >= built["fill_ratio"]
+    assert extended["n_keys"] == built["n_keys"] + 21
+    assert extended["fill_ratio"] > built["fill_ratio"]
 
 
 @pytest.mark.slow
