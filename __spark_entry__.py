@@ -569,17 +569,38 @@ def _q_embedding_dups_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup decision set: the DROPPED vectors (keep = complement),
+    reshaped to the embedding_dups union schema — id_a = vec_id,
+    id_b = cluster, cosine = centroid cosine.  Over- AND under-dropping
+    both surface as row-set mismatches vs the oracle."""
+    from localmod_spark.operators.similarity import semdedup
+    from localmod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, dim=_EMB_DIM, threshold=0.3)
+    return out.where(~F.col("keep")).select(
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.col("cluster").alias("id_b"),
+        F.col("centroid_cos").alias("cosine"),
+    )
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs under both strategies in one method-keyed
-    registry entry (50-entry driver cap): the exact all-pairs baseline
-    and the two-table hyperplane-LSH scale path."""
+    """Embedding near-dup handling under all three strategies in one
+    method-keyed registry entry (50-entry driver cap): the exact
+    all-pairs baseline, the two-table hyperplane-LSH scale path, and
+    the SemDeDup cluster-pruning decision set."""
     allp = _q_embedding_dups_allpairs(spark, sf_dir).select(
         F.lit("allpairs").alias("method"), "id_a", "id_b", "cosine"
     )
     lsh = _q_lsh_embedding_dups(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine"
     )
-    return allp.unionByName(lsh)
+    sem = _q_semdedup_drops(spark, sf_dir).select(
+        F.lit("semdedup").alias("method"), "id_a", "id_b", "cosine"
+    )
+    return allp.unionByName(lsh).unionByName(sem)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,15 +1928,52 @@ def _allpairs_embedding_dups_sql() -> str:
     """
 
 
+def _semdedup_sql(n_lists: int = 16, seed: int = 23, threshold: float = 0.3) -> str:
+    """Mirror of similarity.semdedup's drop rule: seeded unit centroids
+    as literals, argmax assignment, within-cluster pairs >= threshold,
+    loser = the (ccos, id)-greater member of each qualifying pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_lists, _EMB_DIM)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    scores = "[" + ", ".join(_sql_dot("embedding", cents[i]) for i in range(n_lists)) + "]"
+    return f"""
+        WITH s AS (SELECT vec_id, embedding, {scores} AS ls FROM embeddings),
+        assigned AS (
+            SELECT vec_id, embedding,
+                   CAST(list_position(ls, list_max(ls)) - 1 AS BIGINT) AS cluster,
+                   list_max(ls) / sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ccos
+            FROM s
+        ),
+        losers AS (
+            SELECT DISTINCT CASE WHEN (a.ccos > b.ccos)
+                                   OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
+                                 THEN a.vec_id ELSE b.vec_id END AS vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {threshold}
+        )
+        SELECT CAST(vec_id AS BIGINT) AS id_a, cluster AS id_b,
+               round(ccos, 4) AS cosine
+        FROM assigned WHERE vec_id IN (SELECT vec_id FROM losers)
+    """
+
+
 def _embedding_dups_union_sql() -> str:
     """Method-keyed union mirroring `_q_embedding_dups`'s fold of the
-    all-pairs baseline + the two-table LSH scale path."""
+    all-pairs baseline + the two-table LSH scale path + the SemDeDup
+    cluster-pruning decision set."""
     return f"""
         SELECT 'allpairs' AS method, id_a, id_b, cosine
         FROM ({_allpairs_embedding_dups_sql()})
         UNION ALL
         SELECT 'lsh' AS method, id_a, id_b, cosine
         FROM ({_lsh_embedding_dups_sql()})
+        UNION ALL
+        SELECT 'semdedup' AS method, id_a, id_b, cosine
+        FROM ({_semdedup_sql()})
     """
 
 

@@ -334,6 +334,104 @@ def train_ivf_centroids(
     return cents
 
 
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray" = None,
+    max_bucket: int = None,
+    cap_mode: str = "drop",
+    observation=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — k-means-cluster the embedding space, then prune
+    near-duplicate neighborhoods WITHIN each cluster, keeping the member
+    least similar to its centroid (the paper's keep choice: boundary
+    examples carry more information than cluster-core ones).
+
+    Drop rule (deterministic, relational): x is dropped iff some y in
+    the SAME cluster has cos(x, y) >= ``threshold`` and
+    (ccos_y, id_y) < (ccos_x, id_x), where ccos is cosine to the
+    cluster centroid and id breaks exact ties.  Every near-dup
+    neighborhood therefore keeps exactly its minimal member, and the
+    decision needs only within-cluster pairs — never the O(N²)
+    cartesian.  Returns one row per input vector:
+    (id_col, cluster: long, centroid_cos: double(4dp), keep: boolean).
+
+    Scale shape: clustering bounds the self-join to cluster-equality
+    equi-joins (shuffle keyed on the cluster id — at 10^12 rows use
+    n_lists large enough that N/n_lists fits a task, exactly the IVF
+    sizing rule); degenerate clusters take the same two giant-bucket
+    guards as every banding self-join (``max_bucket`` +
+    ``cap_mode="drop"``/``"shard"``).  ``centroids`` overrides the
+    seeded defaults — pass :func:`train_ivf_centroids` output for
+    trained clusters (seeded defaults keep the query oracle-checkable).
+    """
+    from localmod_spark.cache_registry import register_stage_cache
+    from localmod_spark.operators.dedup import _capped_self_pair_rows, _check_cap_mode
+
+    _check_cap_mode(cap_mode, max_bucket)
+    cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
+    # one scores array yields BOTH the assignment (argmax position) and
+    # the centroid cosine (max score / |v|; centroids are unit-norm)
+    scores = F.transform(_cents_lit(cents), lambda c: _dot(F.col(vec_col), c))
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        F.array_position(scores, F.array_max(scores))
+        .cast("long")
+        .alias("_cluster1"),  # 1-based; -1 below keeps one expression tree
+        (F.array_max(scores) / _norm(F.col(vec_col))).alias("_ccos"),
+    ).select(
+        id_col,
+        "_vec",
+        (F.col("_cluster1") - 1).alias("cluster"),
+        "_ccos",
+    )
+    assigned = register_stage_cache(assigned.persist())
+    pairs = _capped_self_pair_rows(
+        assigned.select(F.col(id_col), "cluster"),
+        ["cluster"],
+        id_col,
+        max_bucket,
+        observation,
+        cap_mode,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), F.col("_ccos").alias("_ca")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), F.col("_ccos").alias("_cb")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    losers = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(cos >= F.lit(float(threshold)))
+        .select(
+            F.when(
+                (F.col("_ca") > F.col("_cb"))
+                | ((F.col("_ca") == F.col("_cb")) & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(losers, id_col, "left").select(
+        id_col,
+        "cluster",
+        F.round("_ccos", 4).alias("centroid_cos"),
+        F.col("_dropped").isNull().alias("keep"),
+    )
+
+
 def ivf_topk(
     embeddings_with_list: DataFrame,
     query_vec_id: int,

@@ -291,3 +291,74 @@ def test_ann_join_topk_bucket_cap_prunes_degenerate_bucket(spark):
     m = obs.get
     assert m["dropped_buckets"] >= 1 and m["max_bucket_width"] >= 40
     assert m["dropped_corpus_rows"] >= 40
+
+
+def test_semdedup_keeps_least_centroid_similar_of_planted_group(spark):
+    """SemDeDup (Abbas'23): a planted trio of near-identical vectors lands
+    in one cluster and exactly its (ccos, id)-minimal member survives;
+    output partitions the input (every id exactly once, keep XOR drop)."""
+    from localmod_spark.operators.similarity import _centroids, semdedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(DIM)
+    trio = []
+    for i in range(3):
+        v = base + rng.randn(DIM) * 0.01
+        trio.append((i, [float(x) for x in v]))
+    rest = [(10 + j, [float(x) for x in rng.randn(DIM)]) for j in range(50)]
+    emb = spark.createDataFrame(trio + rest, "vec_id long, embedding array<float>")
+    out = semdedup(emb, dim=DIM, n_lists=4, threshold=0.95, seed=23).collect()
+    assert len(out) == 53 and len({r.vec_id for r in out}) == 53
+    by_id = {r.vec_id: r for r in out}
+    # the trio is one cluster-coherent near-dup neighborhood
+    assert len({by_id[i].cluster for i in range(3)}) == 1
+    # expected survivor, recomputed independently in numpy
+    cents = _centroids(DIM, 4, 23)
+    def ccos(vec):
+        v = np.array(vec)
+        return np.max(cents @ v) / np.linalg.norm(v)
+    expect_keep = min(range(3), key=lambda i: (ccos(trio[i][1]), i))
+    for i in range(3):
+        assert by_id[i].keep == (i == expect_keep), i
+    # ... and the reported centroid_cos matches numpy at 4dp
+    assert abs(by_id[0].centroid_cos - round(ccos(trio[0][1]), 4)) < 1e-9
+
+
+def test_semdedup_high_threshold_drops_only_planted_dups(spark):
+    from localmod_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(DIM)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + rng.randn(DIM) * 0.005])]
+    rows += [(10 + j, [float(x) for x in rng.randn(DIM)]) for j in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(emb, dim=DIM, n_lists=4, threshold=0.99).collect()
+    dropped = {r.vec_id for r in out if not r.keep}
+    assert len(dropped) == 1 and dropped <= {0, 1}
+
+
+def test_semdedup_shard_mode_matches_uncapped_decisions(spark):
+    """cap_mode='shard' bounds task size on a degenerate cluster with ZERO
+    decision change — the same keep/drop set as the uncapped join."""
+    from pyspark.sql import Observation
+
+    from localmod_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(13)
+    base = rng.randn(DIM)
+    # 40 near-identical vectors: one cluster, one wide near-dup bucket
+    rows = [(i, [float(x) for x in base + rng.randn(DIM) * 0.01]) for i in range(40)]
+    rows += [(100 + j, [float(x) for x in rng.randn(DIM)]) for j in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = semdedup(emb, dim=DIM, n_lists=4, threshold=0.95)
+    obs = Observation("sem_shard")
+    sharded = semdedup(
+        emb, dim=DIM, n_lists=4, threshold=0.95,
+        max_bucket=8, cap_mode="shard", observation=obs,
+    )
+    want = {(r.vec_id, r.keep) for r in plain.collect()}
+    got = {(r.vec_id, r.keep) for r in sharded.collect()}
+    assert got == want
+    assert sum(1 for _, k in want if not k) >= 39  # the wide group collapsed
+    assert obs.get["sharded_buckets"] >= 1
