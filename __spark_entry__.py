@@ -1039,13 +1039,19 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: greedy fill of 512-token training windows in
-    doc_id order per (lang, 200-doc block) group — packing is sequential
-    within a group by nature, so the group is the parallelism unit, and
-    the composite key BOUNDS every sequential scan (the shape a 10^12-doc
-    job needs: lang alone would serialize a whole language on one task).
-    Oracle: a DuckDB recursive CTE walks the same rule per group."""
-    from localmod_spark.operators.packing import pack_greedy
+    """Sequence packing under both trainer disciplines in one mode-keyed
+    registry entry (50-entry driver cap).  mode='greedy': first-fit doc
+    packing into 512-token budgets in doc_id order per (lang, 200-doc
+    block) group — packing is sequential within a group by nature, so
+    the group is the parallelism unit, and the composite key BOUNDS
+    every sequential scan (the shape a 10^12-doc job needs: lang alone
+    would serialize a whole language on one task); oracle = a DuckDB
+    recursive CTE walking the same rule.  mode='chunk': concat-and-chunk
+    (`packing.chunk_fixed`) of the same groups' real-BPE token streams;
+    oracle = per-token global-position arithmetic over the BPE
+    recursive-CTE encode."""
+    from localmod_spark.operators.bpe import PINNED_MERGES, with_bpe_tokens
+    from localmod_spark.operators.packing import chunk_fixed, pack_greedy
     from localmod_spark.sources.tables import load_table
 
     docs = (
@@ -1057,13 +1063,29 @@ def _q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     packed = pack_greedy(docs, budget=512, group_col="grp", order_col="doc_id")
-    return packed.select(
+    greedy = packed.select(
+        F.lit("greedy").alias("mode"),
         "grp",
-        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("k"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("pack_id").cast("long").alias("pack_id"),
-        F.col("pack_fill").cast("long").alias("pack_fill"),
+        F.concat_ws(":", F.col("pack_id"), F.col("pack_fill")).alias("payload"),
     )
+    # mode 'chunk': concat-and-chunk of REAL BPE token streams (the
+    # GPT-style no-padding alternative) — per-group streams with <eos>
+    # separators cut into 128-token windows; payload carries the actual
+    # window tokens so the oracle checks content, not just counts
+    enc = with_bpe_tokens(docs.select("doc_id", "grp", "text"), PINNED_MERGES)
+    chunks = chunk_fixed(
+        enc, seq_len=128, group_col="grp", order_col="doc_id", tokens_col="bpe_tokens"
+    )
+    chunk = chunks.select(
+        F.lit("chunk").alias("mode"),
+        "grp",
+        F.col("chunk_id").alias("k"),
+        F.col("n_tokens"),
+        F.array_join("tokens", " ").alias("payload"),
+    )
+    return greedy.unionByName(chunk)
 
 
 def _q_corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,6 +1840,80 @@ def _bpe_tokens_sql() -> str:
         LEFT JOIN words w USING (doc_id)
         LEFT JOIN final f ON w.word = f.word
         GROUP BY d.doc_id
+    """
+
+
+def _greedy_pack_walk_sql() -> str:
+    return """
+        WITH RECURSIVE d AS (
+            SELECT lang || '/' || CAST(doc_id // 200 AS VARCHAR) AS grp, doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   row_number() OVER (PARTITION BY lang || '/' || CAST(doc_id // 200 AS VARCHAR)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        walk(grp, rn, doc_id, n_tokens, pack_id, pack_fill) AS (
+            SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+                   CASE WHEN w.pack_fill + d.n_tokens <= 512
+                        THEN w.pack_id ELSE w.pack_id + 1 END,
+                   CASE WHEN w.pack_fill + d.n_tokens <= 512
+                        THEN w.pack_fill + d.n_tokens ELSE d.n_tokens END
+            FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1
+        )
+        SELECT grp, doc_id, n_tokens, pack_id, pack_fill FROM walk
+    """
+
+
+def _chunk_pack_sql(seq_len: int = 128) -> str:
+    """Mirror of packing.chunk_fixed over the BPE-encoded documents:
+    append <eos> per doc, global position = per-group running offset +
+    in-doc index, chunk = position // seq_len.  string_split('', ' ')
+    yields [''] (not []), hence the empty-subwords CASE."""
+    return f"""
+        WITH bpe AS ({_bpe_tokens_sql()}),
+        docs AS (
+            SELECT d.lang || '/' || CAST(d.doc_id // 200 AS VARCHAR) AS grp,
+                   d.doc_id,
+                   CASE WHEN b.subwords = '' THEN ['<eos>']
+                        ELSE list_append(string_split(b.subwords, ' '), '<eos>')
+                   END AS t
+            FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+        ),
+        offs AS (
+            SELECT grp, doc_id, t, len(t) AS n,
+                   COALESCE(sum(len(t)) OVER (
+                       PARTITION BY grp ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM docs
+        ),
+        pos AS (
+            SELECT grp, off + i - 1 AS gpos, tok
+            FROM (SELECT grp, off, unnest(t) AS tok,
+                         unnest(generate_series(1, n)) AS i
+                  FROM offs)
+        )
+        SELECT grp, CAST(gpos // {seq_len} AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY gpos) AS payload
+        FROM pos GROUP BY grp, gpos // {seq_len}
+    """
+
+
+def _pack_union_sql() -> str:
+    """Mode-keyed union mirroring `_q_greedy_pack`'s fold of first-fit
+    packing + concat-and-chunk."""
+    return f"""
+        SELECT 'greedy' AS mode, grp, doc_id AS k, n_tokens,
+               CAST(pack_id AS VARCHAR) || ':' || CAST(pack_fill AS VARCHAR) AS payload
+        FROM ({_greedy_pack_walk_sql()})
+        UNION ALL
+        SELECT 'chunk' AS mode, grp, k, n_tokens, payload
+        FROM ({_chunk_pack_sql()})
     """
 
 
@@ -2957,28 +3053,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT dg.doc_id, count(*) AS n_shared_grams
             FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id
         """,
-        "greedy_pack": """
-            WITH RECURSIVE d AS (
-                SELECT lang || '/' || CAST(doc_id // 200 AS VARCHAR) AS grp, doc_id,
-                       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-                           AS n_tokens,
-                       row_number() OVER (PARTITION BY lang || '/' || CAST(doc_id // 200 AS VARCHAR)
-                                          ORDER BY doc_id) AS rn
-                FROM documents
-            ),
-            walk(grp, rn, doc_id, n_tokens, pack_id, pack_fill) AS (
-                SELECT grp, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
-                FROM d WHERE rn = 1
-                UNION ALL
-                SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
-                       CASE WHEN w.pack_fill + d.n_tokens <= 512
-                            THEN w.pack_id ELSE w.pack_id + 1 END,
-                       CASE WHEN w.pack_fill + d.n_tokens <= 512
-                            THEN w.pack_fill + d.n_tokens ELSE d.n_tokens END
-                FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1
-            )
-            SELECT grp, doc_id, n_tokens, pack_id, pack_fill FROM walk
-        """,
+        "greedy_pack": _pack_union_sql(),
         "media_features": """
             WITH ids AS (
                 SELECT row_number() OVER () - 1 AS media_id FROM documents

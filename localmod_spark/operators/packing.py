@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
@@ -69,3 +70,86 @@ def pack_greedy(
 
     slim = df.select(group_col, order_col, token_col)
     return slim.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
+
+
+def chunk_fixed(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "grp",
+    order_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    eos: str = "<eos>",
+) -> DataFrame:
+    """Concat-and-chunk packing (the GPT-style alternative to
+    :func:`pack_greedy`): within each group, concatenate every document's
+    token array + one ``eos`` separator in ``order_col`` order, then cut
+    the stream into consecutive ``seq_len``-token windows.  No padding
+    waste, documents straddle chunk boundaries; the final partial chunk
+    is emitted with its true length (callers drop or pad it).
+
+    → (group_col, chunk_id: long, n_tokens: long, tokens: array).
+
+    Scale shape: the stream offset is ONE bounded window per group (the
+    group key must bound group size, exactly :func:`pack_greedy`'s rule —
+    lang × block, shard id, …), and the explode is per (document ×
+    spanned chunk) — ~n_tokens/seq_len rows per doc, never per token.
+    Chunk assembly is a single aggregation keyed on (group, chunk);
+    segment order inside the chunk is restored INSIDE the aggregate
+    (struct collect → array_sort → flatten), so it survives partial
+    aggregation regardless of task scheduling."""
+    from pyspark.sql import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = F.lit(int(seq_len))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        df.select(
+            group_col,
+            order_col,
+            F.concat(F.col(tokens_col), F.array(F.lit(eos))).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks").cast("long"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long"))
+    )
+    # chunks this doc's stream slice [off, off+n) touches
+    c0 = F.floor(F.col("_off") / L).cast("long")
+    c1 = F.floor((F.col("_off") + F.col("_n") - 1) / L).cast("long")
+    segs = d.select(
+        group_col,
+        "_toks",
+        "_n",
+        "_off",
+        F.explode(F.sequence(c0, c1)).alias("chunk_id"),
+    )
+    s_in = F.greatest(F.col("chunk_id") * L - F.col("_off"), F.lit(0))
+    e_glob = F.least((F.col("chunk_id") + 1) * L, F.col("_off") + F.col("_n"))
+    seg_len = e_glob - (F.col("_off") + s_in)
+    segs = segs.select(
+        group_col,
+        "chunk_id",
+        "_off",
+        F.slice(F.col("_toks"), (s_in + 1).cast("int"), seg_len.cast("int")).alias("_seg"),
+    )
+    assembled = (
+        segs.groupBy(group_col, "chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_off"), F.col("_seg")))),
+                    lambda s: s["_seg"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            group_col,
+            "chunk_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
+    )
+    return assembled

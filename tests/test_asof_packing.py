@@ -123,3 +123,69 @@ def test_rolling_and_asof_queries_run(spark):
     for name in ("asof_click", "interval_join", "turn_windows", "greedy_pack"):
         df = q[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
+
+
+def _chunk_ref(docs, L, eos="<eos>"):
+    """Pure-python concat-and-chunk reference: docs = [(doc_id, tokens)]."""
+    stream = []
+    for _, toks in sorted(docs):
+        stream += list(toks) + [eos]
+    return [stream[i : i + L] for i in range(0, len(stream), L)]
+
+
+def test_chunk_fixed_matches_python_reference(spark):
+    from localmod_spark.operators.packing import chunk_fixed
+
+    import random
+
+    rnd = random.Random(9)
+    groups = {}
+    rows = []
+    for g in ("g1", "g2", "g3"):
+        docs = []
+        for d in range(rnd.randint(1, 12)):
+            toks = [f"{g}t{d}_{j}" for j in range(rnd.randint(0, 23))]
+            docs.append((d, toks))
+            rows.append((g, d, toks))
+        groups[g] = docs
+    df = spark.createDataFrame(rows, "grp string, doc_id long, tokens array<string>")
+    got = {}
+    for r in chunk_fixed(df, seq_len=7).collect():
+        got.setdefault(r.grp, {})[r.chunk_id] = list(r.tokens)
+    for g, docs in groups.items():
+        want = _chunk_ref(docs, 7)
+        assert [got[g][c] for c in sorted(got[g])] == want, g
+        # every chunk but the last is exactly full
+        sizes = [len(got[g][c]) for c in sorted(got[g])]
+        assert all(s == 7 for s in sizes[:-1]) and 1 <= sizes[-1] <= 7
+
+
+def test_chunk_fixed_long_doc_spans_many_chunks_and_partition_invariant(spark):
+    from localmod_spark.operators.packing import chunk_fixed
+
+    rows = [("g", 0, [f"w{j}" for j in range(57)]), ("g", 1, ["a", "b"])]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, tokens array<string>")
+    base = {
+        (r.grp, r.chunk_id): (r.n_tokens, tuple(r.tokens))
+        for r in chunk_fixed(df, seq_len=8).collect()
+    }
+    want = _chunk_ref([(0, rows[0][2]), (1, ["a", "b"])], 8)
+    assert [list(base[("g", c)][1]) for c in range(len(want))] == want
+    # same chunks regardless of how the input is split across tasks
+    for parts in (1, 7):
+        again = {
+            (r.grp, r.chunk_id): (r.n_tokens, tuple(r.tokens))
+            for r in chunk_fixed(df.repartition(parts), seq_len=8).collect()
+        }
+        assert again == base
+
+
+def test_chunk_fixed_empty_doc_contributes_separator_only(spark):
+    from localmod_spark.operators.packing import chunk_fixed
+
+    rows = [("g", 0, []), ("g", 1, ["x"])]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, tokens array<string>")
+    out = chunk_fixed(df, seq_len=4).collect()
+    assert len(out) == 1 and list(out[0].tokens) == ["<eos>", "x", "<eos>"]
+    with pytest.raises(ValueError):
+        chunk_fixed(df, seq_len=0)
