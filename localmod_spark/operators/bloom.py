@@ -212,6 +212,7 @@ def save_bloom(
     k: int,
     seed: int,
     n_keys: int = 0,
+    last_batch_id: Optional[int] = None,
 ) -> None:
     """Persist the word table plus its build parameters as one artifact.
 
@@ -224,14 +225,28 @@ def save_bloom(
     a naive overwrite would both trip Spark's self-overwrite guard and
     torch the old filter on failure.  ``n_keys`` is the cumulative key
     count (caller maintained across :func:`extend_bloom` folds) for fpr
-    bookkeeping.
+    bookkeeping.  ``last_batch_id`` is the streaming-ingest idempotency
+    marker (see ``streaming.ingest_bloom_stream``): a foreachBatch retry
+    whose batch id already equals it must NOT re-extend the n_keys
+    bookkeeping (re-OR-ing the same bits is idempotent; the counter is
+    not).  The params dir is rewritten wholesale on every save, so the
+    added column never mixes schemas within one artifact; pre-existing
+    artifacts simply lack the key (`params.get` it).
     """
     from localmod_spark.plans.pipeline import save_marked_artifact
 
     spark = bloom.sparkSession
     params = spark.createDataFrame(
-        [(int(num_bits), int(k), int(seed), int(n_keys))],
-        "num_bits long, k int, seed int, n_keys long",
+        [
+            (
+                int(num_bits),
+                int(k),
+                int(seed),
+                int(n_keys),
+                None if last_batch_id is None else int(last_batch_id),
+            )
+        ],
+        "num_bits long, k int, seed int, n_keys long, last_batch_id long",
     )
     save_marked_artifact(
         spark,
@@ -258,3 +273,30 @@ def load_bloom(spark: SparkSession, path: str) -> Tuple[DataFrame, dict]:
         raise ValueError(f"bloom params at {path} must be one row, got {len(rows)}")
     params = rows[0].asDict()
     return spark.read.parquet(os.path.join(path, _DATA_SUBDIR)), params
+
+
+def ensure_bloom(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "text",
+    num_bits: int = 1 << 23,
+    k: int = 5,
+    seed: int = 77,
+) -> Tuple[DataFrame, dict]:
+    """Load the artifact at ``path``, creating an EMPTY one first if the
+    path does not exist at all — the bootstrap for a fresh ingest stream.
+
+    An empty filter is only correct when the corpus is genuinely empty
+    (it answers "definitely new" for everything, and definitely-new rows
+    BYPASS the exact verification), so this deliberately does NOT repair
+    a half-written artifact: a dir that exists but fails to load keeps
+    raising — rebuild it explicitly from the corpus keys instead."""
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(jpath(path)):
+        empty = spark.createDataFrame([], f"{key_col} string")
+        bloom = build_bloom(empty, key_col, num_bits=num_bits, k=k, seed=seed)
+        save_bloom(bloom, path, num_bits=num_bits, k=k, seed=seed, n_keys=0)
+    return load_bloom(spark, path)

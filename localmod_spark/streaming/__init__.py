@@ -5,6 +5,7 @@ from localmod_spark.streaming.score_stream import (
     conv_flag_counts_stream,
     dedup_stream,
     conv_running_totals_stream,
+    ingest_bloom_stream,
     score_stream,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "conv_flag_counts_stream",
     "conv_running_totals_stream",
     "dedup_stream",
+    "ingest_bloom_stream",
     "write_scored_stream",
 ]

@@ -123,3 +123,115 @@ def write_scored_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def ingest_bloom_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    bloom_dir: str,
+    key_col: str = "text",
+    num_bits: int = 1 << 23,
+    k: int = 5,
+    seed: int = 77,
+    available_now: bool = True,
+):
+    """Bloom-gated exact-dedup ingest: admit only never-seen keys from an
+    arriving stream, extending the corpus Bloom artifact as it goes —
+    the streaming face of ``operators/bloom.incremental_exact_dedup``.
+
+    Per micro-batch (foreachBatch):
+
+      1. load the artifact (bootstrapped empty on a brand-new path);
+      2. key-distinct the batch, gate it: bloom-definitely-new rows pass
+         free, bloom-maybe rows pay the exact anti-join against the
+         PRIOR admitted batches only (10^12-scale point: the corpus
+         rescan is reserved for the sketch's false positives);
+      3. write admitted rows to ``out_dir/batch=<id>`` with overwrite —
+         a retried batch rewrites the same dir, never appends twice;
+      4. extend + save the bloom, recording ``last_batch_id``.
+
+    Crash-window audit (availableNow retries re-run the LAST uncommitted
+    batch only): die before (3) → nothing durable changed, the retry
+    recomputes identically.  Die between (3) and (4) → the bloom lacks
+    the batch keys, but the verify corpus EXCLUDES the batch's own dir,
+    so the retry recomputes the same admitted set and the overwrite is
+    byte-idempotent.  Die between (4) and the checkpoint commit → the
+    bloom already holds the keys, every batch key probes "maybe" and the
+    exact anti-join (again minus the batch's own dir) re-admits the same
+    set; ``last_batch_id == batch id`` skips the n_keys re-count (the
+    bit OR itself is idempotent, the counter is not).  Exactly-once for
+    both the data dirs and the bookkeeping.
+
+    The per-batch stage caches registered by the gate are released at
+    the end of each batch (the registry's documented between-jobs
+    contract — a multi-tenant driver should not share the session with
+    a concurrent job that persists its own stages mid-batch).
+
+    Returns the started StreamingQuery."""
+    import os
+
+    from localmod_spark.cache_registry import release_stage_caches
+    from localmod_spark.operators.bloom import (
+        ensure_bloom,
+        extend_bloom,
+        incremental_exact_dedup,
+        save_bloom,
+    )
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    def _prior_batch_dirs(spark, batch_id):
+        fs, _ = _hadoop_fs(spark, out_dir)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        root = jpath(out_dir)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch=") and name != f"batch={batch_id}":
+                out.append(str(st.getPath()))
+        return out
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bloom, params = ensure_bloom(
+            spark, bloom_dir, key_col=key_col, num_bits=num_bits, k=k, seed=seed
+        )
+        nb, kk, sd = params["num_bits"], params["k"], params["seed"]
+        batch_keys = batch_df.where(F.col(key_col).isNotNull()).dropDuplicates([key_col])
+        prior = _prior_batch_dirs(spark, batch_id)
+        if prior:
+            corpus = spark.read.parquet(*prior).select(key_col)
+        else:
+            corpus = spark.createDataFrame([], batch_df.select(key_col).schema)
+        admitted = incremental_exact_dedup(
+            batch_keys, corpus, bloom, key_col, num_bits=nb, k=kk, seed=sd
+        ).persist()
+        try:
+            n_admitted = admitted.count()  # materialize BEFORE mutating the bloom
+            admitted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            if params.get("last_batch_id") != batch_id:
+                save_bloom(
+                    extend_bloom(bloom, admitted, key_col, num_bits=nb, k=kk, seed=sd),
+                    bloom_dir,
+                    num_bits=nb,
+                    k=kk,
+                    seed=sd,
+                    n_keys=int(params.get("n_keys") or 0) + n_admitted,
+                    last_batch_id=batch_id,
+                )
+        finally:
+            admitted.unpersist()
+            release_stage_caches()
+
+    w = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -58,7 +58,9 @@ def test_save_load_extend_in_place(spark, tmp_path):
     bloom = build_bloom(_keys(spark, 0, 200), "text", num_bits=BITS, k=3, seed=9)
     save_bloom(bloom, path, num_bits=BITS, k=3, seed=9, n_keys=200)
     loaded, params = load_bloom(spark, path)
-    assert params == {"num_bits": BITS, "k": 3, "seed": 9, "n_keys": 200}
+    assert params == {
+        "num_bits": BITS, "k": 3, "seed": 9, "n_keys": 200, "last_batch_id": None,
+    }
     assert _words(loaded) == _words(bloom)
     # extend the LOADED filter and save in place
     bigger = extend_bloom(

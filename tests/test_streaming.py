@@ -223,3 +223,62 @@ def test_stream_file_sink_day_layout_matches_batch(spark, stream_source_dir, tmp
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 600
+
+
+def test_ingest_bloom_stream_admits_each_key_once(spark, tmp_path_factory):
+    """Cross-batch exact dedup through the bloom gate: three source files
+    with overlapping texts, one micro-batch per file — every distinct key
+    is admitted exactly once, the artifact's bookkeeping agrees, and the
+    filter has zero false negatives over the admitted corpus."""
+    from localmod_spark.operators.bloom import bloom_maybe_contains, load_bloom
+    from localmod_spark.streaming import ingest_bloom_stream
+
+    root = tmp_path_factory.mktemp("bloom_ingest")
+    src, out = str(root / "src"), str(root / "out")
+    ckpt, art = str(root / "ckpt"), str(root / "bloom")
+
+    def write_file(name, texts):
+        spark.createDataFrame(
+            [(f"{name}-{i}", t) for i, t in enumerate(texts)], "msg_id string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    write_file("f0", ["alpha", "beta", "gamma"])
+    write_file("f1", ["beta", "delta", None])          # beta redelivered; null skipped
+    write_file("f2", ["alpha", "delta", "epsilon"])    # two redeliveries
+
+    def run():
+        stream = (
+            spark.readStream.schema("msg_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = ingest_bloom_stream(
+            stream, out, ckpt, art, key_col="text", num_bits=1 << 14, k=3
+        )
+        q.awaitTermination(180)
+
+    run()
+    admitted = spark.read.parquet(out + "/batch=*").collect()
+    assert sorted(r.text for r in admitted) == ["alpha", "beta", "delta", "epsilon", "gamma"]
+    bloom, params = load_bloom(spark, art)
+    assert params["n_keys"] == 5 and params["num_bits"] == 1 << 14
+    # zero false negatives: every admitted key probes "maybe seen"
+    keys = spark.createDataFrame([(r.text,) for r in admitted], "text string")
+    probed = bloom_maybe_contains(
+        keys, bloom, "text", num_bits=1 << 14, k=3
+    ).collect()
+    assert all(r.maybe_seen for r in probed)
+
+    # restart with the same checkpoint and source: exactly-once no-op
+    before = {r.text for r in admitted}
+    run()
+    again = spark.read.parquet(out + "/batch=*").collect()
+    assert {r.text for r in again} == before and len(again) == len(admitted)
+    assert load_bloom(spark, art)[1]["n_keys"] == 5
+
+    # a NEW file after restart: only its genuinely new key is admitted
+    write_file("f3", ["beta", "zeta"])
+    run()
+    final = sorted(r.text for r in spark.read.parquet(out + "/batch=*").collect())
+    assert final == ["alpha", "beta", "delta", "epsilon", "gamma", "zeta"]
+    assert load_bloom(spark, art)[1]["n_keys"] == 6
