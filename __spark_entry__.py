@@ -2044,8 +2044,8 @@ def _semdedup_sql(n_lists: int = 16, seed: int = 23, threshold: float = 0.3) -> 
             FROM s
         ),
         losers AS (
-            SELECT DISTINCT CASE WHEN (a.ccos > b.ccos)
-                                   OR (a.ccos = b.ccos AND a.vec_id > b.vec_id)
+            -- pairs are id-ordered (a.vec_id < b.vec_id): equal ccos ⇒ loser is b
+            SELECT DISTINCT CASE WHEN a.ccos > b.ccos
                                  THEN a.vec_id ELSE b.vec_id END AS vec_id
             FROM assigned a JOIN assigned b
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id

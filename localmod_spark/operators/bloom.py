@@ -212,7 +212,9 @@ def save_bloom(
     k: int,
     seed: int,
     n_keys: int = 0,
-    last_batch_id: Optional[int] = None,
+    last_batch: Optional[str] = None,
+    bound_out_dir: Optional[str] = None,
+    corpus_dirs: Optional[str] = None,
 ) -> None:
     """Persist the word table plus its build parameters as one artifact.
 
@@ -225,13 +227,22 @@ def save_bloom(
     a naive overwrite would both trip Spark's self-overwrite guard and
     torch the old filter on failure.  ``n_keys`` is the cumulative key
     count (caller maintained across :func:`extend_bloom` folds) for fpr
-    bookkeeping.  ``last_batch_id`` is the streaming-ingest idempotency
-    marker (see ``streaming.ingest_bloom_stream``): a foreachBatch retry
-    whose batch id already equals it must NOT re-extend the n_keys
-    bookkeeping (re-OR-ing the same bits is idempotent; the counter is
-    not).  The params dir is rewritten wholesale on every save, so the
-    added column never mixes schemas within one artifact; pre-existing
-    artifacts simply lack the key (`params.get` it).
+    bookkeeping.
+
+    The three optional markers belong to the streaming-ingest lifecycle
+    (``streaming.ingest_bloom_stream``) and must be PRESERVED by any
+    other writer that extends a stream-managed artifact (the batch CLI
+    does): ``last_batch`` is the "<query-id>/<batch-id>" idempotency
+    marker — a foreachBatch retry whose marker already matches must NOT
+    re-extend the n_keys bookkeeping (re-OR-ing the same bits is
+    idempotent; the counter is not), and the query id makes markers
+    from different checkpoints distinct (a bare batch id is only unique
+    per checkpoint while the artifact outlives checkpoints).
+    ``bound_out_dir`` pins the artifact to the one admitted-corpus
+    directory its keys cover; ``corpus_dirs`` (comma-joined) records
+    extra pre-existing corpora folded in at binding time.  The params
+    dir is rewritten wholesale on every save, so added columns never
+    mix schemas within one artifact.
     """
     from localmod_spark.plans.pipeline import save_marked_artifact
 
@@ -243,10 +254,13 @@ def save_bloom(
                 int(k),
                 int(seed),
                 int(n_keys),
-                None if last_batch_id is None else int(last_batch_id),
+                last_batch,
+                bound_out_dir,
+                corpus_dirs,
             )
         ],
-        "num_bits long, k int, seed int, n_keys long, last_batch_id long",
+        "num_bits long, k int, seed int, n_keys long, "
+        "last_batch string, bound_out_dir string, corpus_dirs string",
     )
     save_marked_artifact(
         spark,

@@ -111,7 +111,12 @@ def chunk_fixed(
         df.select(
             group_col,
             order_col,
-            F.concat(F.col(tokens_col), F.array(F.lit(eos))).alias("_toks"),
+            # a NULL token array reads as an empty document (separator
+            # only) — F.concat(NULL, …) is NULL and would silently DROP
+            # the row from the stream otherwise
+            F.when(F.col(tokens_col).isNull(), F.array(F.lit(eos)))
+            .otherwise(F.concat(F.col(tokens_col), F.array(F.lit(eos))))
+            .alias("_toks"),
         )
         .withColumn("_n", F.size("_toks").cast("long"))
         .withColumn("_off", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long"))

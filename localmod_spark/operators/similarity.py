@@ -356,8 +356,11 @@ def semdedup(
     Drop rule (deterministic, relational): x is dropped iff some y in
     the SAME cluster has cos(x, y) >= ``threshold`` and
     (ccos_y, id_y) < (ccos_x, id_x), where ccos is cosine to the
-    cluster centroid and id breaks exact ties.  Every near-dup
-    neighborhood therefore keeps exactly its minimal member, and the
+    cluster centroid and id breaks exact ties.  Each qualifying PAIR
+    drops its (ccos, id)-greater member: a clique of mutual near-dups
+    keeps exactly its minimal member, while a chained (non-clique)
+    neighborhood may keep several mutually-dissimilar members — the
+    per-pair rule, not one-survivor-per-connected-component.  The
     decision needs only within-cluster pairs — never the O(N²)
     cartesian.  Returns one row per input vector:
     (id_col, cluster: long, centroid_cos: double(4dp), keep: boolean).
@@ -413,11 +416,9 @@ def semdedup(
         .join(b, "id_b")
         .where(cos >= F.lit(float(threshold)))
         .select(
-            F.when(
-                (F.col("_ca") > F.col("_cb"))
-                | ((F.col("_ca") == F.col("_cb")) & (F.col("id_a") > F.col("id_b"))),
-                F.col("id_a"),
-            )
+            # pairs arrive id-ordered (id_a < id_b), so the (ccos, id)
+            # tie-break collapses: equal ccos ⇒ the loser is id_b
+            F.when(F.col("_ca") > F.col("_cb"), F.col("id_a"))
             .otherwise(F.col("id_b"))
             .alias(id_col)
         )

@@ -181,7 +181,9 @@ def main(argv=None) -> int:
 
         if args.extend:
             # fail fast on a missing / half-written artifact BEFORE any
-            # input scan; the artifact's own params override the CLI ones
+            # input scan; the artifact's own params override the CLI ones,
+            # and the streaming lifecycle markers (last_batch, binding)
+            # must survive a batch extend untouched
             existing, params = load_bloom(spark, args.output)
             num_bits, k, seed = params["num_bits"], params["k"], params["seed"]
         else:
@@ -207,7 +209,12 @@ def main(argv=None) -> int:
         else:
             bloom = build_bloom(keys, args.key_col, num_bits=num_bits, k=k, seed=seed)
             n_keys = n_new
-        save_bloom(bloom, args.output, num_bits=num_bits, k=k, seed=seed, n_keys=n_keys)
+        save_bloom(
+            bloom, args.output, num_bits=num_bits, k=k, seed=seed, n_keys=n_keys,
+            last_batch=params.get("last_batch"),
+            bound_out_dir=params.get("bound_out_dir"),
+            corpus_dirs=params.get("corpus_dirs"),
+        )
         keys.unpersist()
         # re-load through the artifact contract: doubles as a post-write
         # marker/params integrity check (vs. a raw path read)

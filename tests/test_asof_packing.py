@@ -187,5 +187,12 @@ def test_chunk_fixed_empty_doc_contributes_separator_only(spark):
     df = spark.createDataFrame(rows, "grp string, doc_id long, tokens array<string>")
     out = chunk_fixed(df, seq_len=4).collect()
     assert len(out) == 1 and list(out[0].tokens) == ["<eos>", "x", "<eos>"]
+    # a NULL token array reads as empty too — it must NOT silently drop
+    # the row (F.concat(NULL, …) would) but contribute its separator
+    nul = spark.createDataFrame(
+        [("g", 0, None), ("g", 1, ["x"])], "grp string, doc_id long, tokens array<string>"
+    )
+    out = chunk_fixed(nul, seq_len=4).collect()
+    assert len(out) == 1 and list(out[0].tokens) == ["<eos>", "x", "<eos>"]
     with pytest.raises(ValueError):
         chunk_fixed(df, seq_len=0)

@@ -59,7 +59,8 @@ def test_save_load_extend_in_place(spark, tmp_path):
     save_bloom(bloom, path, num_bits=BITS, k=3, seed=9, n_keys=200)
     loaded, params = load_bloom(spark, path)
     assert params == {
-        "num_bits": BITS, "k": 3, "seed": 9, "n_keys": 200, "last_batch_id": None,
+        "num_bits": BITS, "k": 3, "seed": 9, "n_keys": 200,
+        "last_batch": None, "bound_out_dir": None, "corpus_dirs": None,
     }
     assert _words(loaded) == _words(bloom)
     # extend the LOADED filter and save in place
