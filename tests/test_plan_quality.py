@@ -331,3 +331,42 @@ def test_layout_flip_invalidates_resume(spark, tmp_path):
         spark, turns, out, n_waves=2, context=False, partition_by_day=True
     )
     assert again.waves_run == [] and sorted(again.waves_skipped) == [0, 1]
+
+
+def test_semdedup_pair_join_is_cluster_equi_join(spark):
+    """SemDeDup's within-cluster pruning must key every join (cluster
+    equality for the pairs, id equality for vectors/losers) — never a
+    cartesian over the corpus, which is the exact failure mode the
+    clustering exists to avoid."""
+    from localmod_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(semdedup(emb, dim=64, threshold=0.3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chunk_fixed_explodes_per_spanned_chunk_not_per_token(spark):
+    """The chunk assembly's explode is bounded by docs × spanned chunks
+    (≈ n_tokens/seq_len + 2 per doc), never one row per token: the
+    exploded relation carries array SLICES, and the per-group stream
+    offset is ONE window exchange."""
+    from localmod_spark.operators.packing import chunk_fixed
+
+    rows = [("g", i, [f"t{i}_{j}" for j in range(100)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, tokens array<string>")
+    out = chunk_fixed(df, seq_len=64)
+    plan = plan_of(out)
+    assert plan.count("Generate explode") == 1, plan
+    # 20 docs × 101 tokens ≈ 2020 stream positions / 64 ≈ 32 chunks;
+    # the exploded row count stays within docs + chunks, not tokens
+    n_chunks = out.count()
+    from pyspark.sql import functions as F
+
+    n_seg_rows = (
+        chunk_fixed(df, seq_len=64)
+        .select(F.sum("n_tokens").alias("s"))
+        .first()["s"]
+    )
+    assert n_seg_rows == 20 * 101  # every token lands in exactly one chunk
+    assert n_chunks <= 20 + (20 * 101) // 64 + 1
