@@ -34,10 +34,12 @@ if os.path.isdir(os.path.join(_ROOT, "localmod_spark")) and _ROOT not in sys.pat
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="localmod_spark moderation pipeline")
     p.add_argument(
-        "--job", choices=("moderate", "select", "export", "bloom"), default="moderate",
+        "--job", choices=("moderate", "select", "export", "bloom", "ingest"),
+        default="moderate",
         help="moderate = wave-resumable scoring; select = staged corpus "
         "selection; export = mix/shuffle/shard; bloom = build or extend "
-        "the corpus Bloom dedup artifact",
+        "the corpus Bloom dedup artifact; ingest = streaming bloom-gated "
+        "dedup admission (drains the --input backlog exactly-once)",
     )
     p.add_argument("--input", help="input transcripts: parquet path or iceberg table name")
     p.add_argument("--output", required=True, help="output directory (data/ _lineage/ _metrics/)")
@@ -106,6 +108,26 @@ def main(argv=None) -> int:
         "--output (params come from the artifact, CLI bloom params ignored)",
     )
     p.add_argument(
+        "--bloom-dir", default=None,
+        help="[ingest] bloom artifact dir (default <output>/_bloom)",
+    )
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="[ingest] streaming checkpoint (default <output>/_checkpoint; "
+        "keep it to resume, reset it only together with a truthful "
+        "--corpus-dirs)",
+    )
+    p.add_argument(
+        "--corpus-dirs", default=None,
+        help="[ingest] comma list of pre-existing corpora a pre-built "
+        "bloom artifact covers (recorded at binding time)",
+    )
+    p.add_argument(
+        "--files-per-batch", type=int, default=None,
+        help="[ingest] maxFilesPerTrigger for the backlog drain "
+        "(default: whole backlog in one micro-batch)",
+    )
+    p.add_argument(
         "--model-dir", default=None,
         help="local HF checkpoint dir (or LOCALMOD_SPARK_MODEL_DIR): when "
         "torch/transformers and checkpoints are present, the O3/O6 slots run "
@@ -115,6 +137,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
+    if args.job == "ingest" and not args.input:
+        p.error("--job ingest needs --input (a parquet dir/glob watched as a stream)")
     if args.conv_max_flag_share is not None and not (
         0.0 <= args.conv_max_flag_share <= 1.0
     ):
@@ -165,6 +189,54 @@ def main(argv=None) -> int:
             F.lit("en").alias("lang"),
             "text",
         )
+
+    if args.job == "ingest":
+        # streaming bloom-gated dedup admission: drain the input backlog
+        # exactly-once into <output>/run=*/batch=* and extend the artifact
+        from localmod_spark.operators.bloom import load_bloom
+        from localmod_spark.streaming import ingest_bloom_stream
+
+        bloom_dir = args.bloom_dir or os.path.join(args.output, "_bloom")
+        ckpt = args.checkpoint_dir or os.path.join(args.output, "_checkpoint")
+        corpus_dirs = tuple(
+            d for d in (args.corpus_dirs or "").split(",") if d.strip()
+        )
+        # schema from the existing backlog files (a stream source needs
+        # one; `turns` already read the same path batch-side)
+        reader = spark.readStream.schema(turns.schema)
+        if args.files_per_batch:
+            reader = reader.option("maxFilesPerTrigger", args.files_per_batch)
+        q = ingest_bloom_stream(
+            reader.parquet(args.input),
+            args.output,
+            ckpt,
+            bloom_dir,
+            key_col=args.key_col,
+            num_bits=args.bloom_bits,
+            k=args.bloom_k,
+            seed=args.bloom_seed,
+            corpus_dirs=corpus_dirs,
+            available_now=True,
+        )
+        q.awaitTermination()
+        _, params = load_bloom(spark, bloom_dir)
+        try:
+            n_rows = spark.read.parquet(os.path.join(args.output, "run=*")).count()
+        except Exception:  # noqa: BLE001 — nothing admitted yet
+            n_rows = 0
+        print(
+            json.dumps(
+                {
+                    "admitted_dir": args.output,
+                    "bloom_dir": bloom_dir,
+                    "admitted_rows": n_rows,
+                    "n_keys": params["n_keys"],
+                    "num_bits": params["num_bits"],
+                    "k": params["k"],
+                }
+            )
+        )
+        return 0
 
     if args.job == "bloom":
         # build (or --extend) the corpus Bloom dedup artifact from the

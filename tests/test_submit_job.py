@@ -171,3 +171,50 @@ def test_submit_job_conv_rollup_flag(tmp_path):
     files = glob.glob(out + "/data/wave=*/*.parquet")
     cols = set(pd.read_parquet(files[0]).columns)
     assert {"conv_keep", "drop_reason"} <= cols
+
+
+@pytest.mark.slow
+def test_submit_job_ingest_drains_backlog_exactly_once(tmp_path):
+    """--job ingest: drain a parquet backlog through the bloom gate; a
+    second invocation with one new file (containing one redelivered key)
+    admits only the genuinely new key."""
+    src = tmp_path / "src"
+    out = str(tmp_path / "ingest_out")
+
+    def write_src(name, texts):
+        import pandas as pd
+
+        (src / name).mkdir(parents=True, exist_ok=True)
+        pd.DataFrame(
+            {"msg_id": [f"{name}-{i}" for i in range(len(texts))], "text": texts}
+        ).to_parquet(src / name / "part-0.parquet", index=False)
+
+    def run():
+        p = subprocess.run(
+            [sys.executable, SCRIPT, "--job", "ingest", "--input", f"{src}/*",
+             "--output", out, "--bloom-bits", str(1 << 14), "--bloom-k", "3",
+             "--files-per-batch", "1"],
+            capture_output=True, text=True, timeout=420, cwd="/tmp",
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    write_src("f0", ["alpha", "beta"])
+    write_src("f1", ["beta", "gamma"])
+    first = run()
+    assert first["admitted_rows"] == 3 and first["n_keys"] == 3
+
+    write_src("f2", ["gamma", "delta"])
+    second = run()
+    assert second["admitted_rows"] == 4 and second["n_keys"] == 4
+
+    import glob
+
+    import pandas as pd
+
+    files = glob.glob(out + "/run=*/batch=*/*.parquet")
+    texts = sorted(
+        t for f in files for t in pd.read_parquet(f)["text"].tolist()
+    )
+    assert texts == ["alpha", "beta", "delta", "gamma"]
