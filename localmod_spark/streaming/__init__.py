@@ -5,6 +5,7 @@ from localmod_spark.streaming.score_stream import (
     conv_flag_counts_stream,
     dedup_stream,
     conv_running_totals_stream,
+    compact_ingest_corpus,
     ingest_bloom_stream,
     score_stream,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "conv_flag_counts_stream",
     "conv_running_totals_stream",
     "dedup_stream",
+    "compact_ingest_corpus",
     "ingest_bloom_stream",
     "write_scored_stream",
 ]

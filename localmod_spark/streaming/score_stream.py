@@ -125,6 +125,30 @@ def write_scored_stream(
     return w.start()
 
 
+def _ingest_batch_dirs(spark, out_dir: str, exclude: str = None):
+    """List the ``run=*/batch=*`` admitted dirs under an ingest out_dir;
+    ``exclude`` is one "run=<qid>/batch=<id>" suffix to skip."""
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(out_dir)
+    if not fs.exists(root):
+        return []
+    dirs = []
+    for run_st in fs.listStatus(root):
+        if not (run_st.isDirectory() and run_st.getPath().getName().startswith("run=")):
+            continue
+        for st in fs.listStatus(run_st.getPath()):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch=")):
+                continue
+            if exclude and f"{run_st.getPath().getName()}/{name}" == exclude:
+                continue
+            dirs.append(str(st.getPath()))
+    return dirs
+
+
 def ingest_bloom_stream(
     stream_df: DataFrame,
     out_dir: str,
@@ -228,24 +252,9 @@ def ingest_bloom_stream(
         """All run=*/batch=* dirs EXCEPT the current run's current batch
         (a same-checkpoint retry must not dedup against its own crashed
         write); other runs' dirs are committed corpus, always included."""
-        fs, _ = _hadoop_fs(spark, out_dir)
-        jpath = spark._jvm.org.apache.hadoop.fs.Path
-        root = jpath(out_dir)
-        if not fs.exists(root):
-            return []
-        own = f"run={_query_id(spark)}/batch={batch_id}"
-        out = []
-        for run_st in fs.listStatus(root):
-            if not (run_st.isDirectory() and run_st.getPath().getName().startswith("run=")):
-                continue
-            for st in fs.listStatus(run_st.getPath()):
-                name = st.getPath().getName()
-                if not (st.isDirectory() and name.startswith("batch=")):
-                    continue
-                if f"{run_st.getPath().getName()}/{name}" == own:
-                    continue
-                out.append(str(st.getPath()))
-        return out
+        return _ingest_batch_dirs(
+            spark, out_dir, exclude=f"run={_query_id(spark)}/batch={batch_id}"
+        )
 
     def _covered_corpus(spark, batch_id, recorded_dirs):
         """Every key the artifact covers, MINUS the current batch's own
@@ -364,3 +373,78 @@ def ingest_bloom_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_ingest_corpus(
+    spark,
+    out_dir: str,
+    dest_dir: str,
+    bloom_dir: str,
+    key_col: str = "text",
+) -> dict:
+    """Compact an ingest stream's accumulated ``run=*/batch=*`` dirs into
+    ONE parquet dir and record it in the bloom artifact's covered
+    ``corpus_dirs`` — the periodic maintenance that keeps a long-lived
+    ingest from re-listing thousands of tiny per-batch dirs on every
+    maybe-path verification.  Run ONLY with the stream stopped.
+
+    Crash-safe order:
+
+      1. rewrite every admitted row into ``dest_dir`` (overwrite);
+      2. save the artifact with ``dest_dir`` folded into corpus_dirs and
+         n_keys RECOUNTED exactly (count_distinct over the full recorded
+         corpus — this also repairs any upper-bound drift the per-batch
+         bookkeeping accumulated);
+      3. delete the run dirs.
+
+    Die after (1): dest exists but unrecorded, run dirs intact — the
+    verification corpus is still complete and a re-run overwrites dest
+    idempotently.  Die after (2): the keys exist in BOTH the recorded
+    dest and the run dirs — duplicates are harmless to an anti-join; a
+    re-run deletes the leftovers.  An uncommitted tail batch whose dir
+    gets compacted re-admits nothing on retry (its keys verify against
+    dest) and skips its write — data preserved, counters already exact.
+
+    Returns {"compacted_dirs", "rows", "n_keys"}."""
+    from localmod_spark.operators.bloom import load_bloom, save_bloom
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    bloom, params = load_bloom(spark, bloom_dir)
+    bound = params.get("bound_out_dir")
+    if bound is not None and bound != out_dir:
+        raise ValueError(
+            f"bloom artifact {bloom_dir} is bound to {bound!r}, not {out_dir!r}"
+        )
+    run_dirs = _ingest_batch_dirs(spark, out_dir)
+    if not run_dirs:
+        return {"compacted_dirs": 0, "rows": 0, "n_keys": params["n_keys"]}
+    rows = spark.read.parquet(*run_dirs)
+    rows.write.mode("overwrite").parquet(dest_dir)
+    n_rows = spark.read.parquet(dest_dir).count()
+    recorded = set(d for d in (params.get("corpus_dirs") or "").split(",") if d)
+    new_dirs = sorted(recorded | {dest_dir})
+    n_keys = (
+        spark.read.parquet(*new_dirs)
+        .select(key_col)
+        .where(F.col(key_col).isNotNull())
+        .select(F.count_distinct(key_col).alias("n"))
+        .first()["n"]
+    )
+    save_bloom(
+        bloom,
+        bloom_dir,
+        num_bits=params["num_bits"],
+        k=params["k"],
+        seed=params["seed"],
+        n_keys=n_keys,
+        last_batch=params.get("last_batch"),
+        bound_out_dir=bound or out_dir,
+        corpus_dirs=",".join(new_dirs),
+    )
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    root = jpath(out_dir)
+    for st in fs.listStatus(root):
+        if st.isDirectory() and st.getPath().getName().startswith("run="):
+            fs.delete(st.getPath(), True)
+    return {"compacted_dirs": len(run_dirs), "rows": n_rows, "n_keys": n_keys}
