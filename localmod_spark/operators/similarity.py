@@ -343,6 +343,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: "np.ndarray" = None,
+    quality_col: str = None,
     max_bucket: int = None,
     cap_mode: str = "drop",
     observation=None,
@@ -373,6 +374,13 @@ def semdedup(
     ``cap_mode="drop"``/``"shard"``).  ``centroids`` overrides the
     seeded defaults — pass :func:`train_ivf_centroids` output for
     trained clusters (seeded defaults keep the query oracle-checkable).
+
+    ``quality_col`` (a column of ``embeddings``) switches the keep
+    choice to quality-FIRST: each qualifying pair drops its
+    lower-quality member, falling back to the centroid rule then the id
+    on exact ties — the curation variant that mirrors
+    ``dedup.select_representatives`` for minhash clusters (keep the best
+    writing, not the most boundary-ish embedding).
     """
     from localmod_spark.cache_registry import register_stage_cache
     from localmod_spark.operators.dedup import _capped_self_pair_rows, _check_cap_mode
@@ -382,6 +390,7 @@ def semdedup(
     # one scores array yields BOTH the assignment (argmax position) and
     # the centroid cosine (max score / |v|; centroids are unit-norm)
     scores = F.transform(_cents_lit(cents), lambda c: _dot(F.col(vec_col), c))
+    qual = [F.col(quality_col).cast("double").alias("_q")] if quality_col else []
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),
@@ -389,11 +398,13 @@ def semdedup(
         .cast("long")
         .alias("_cluster1"),  # 1-based; -1 below keeps one expression tree
         (F.array_max(scores) / _norm(F.col(vec_col))).alias("_ccos"),
+        *qual,
     ).select(
         id_col,
         "_vec",
         (F.col("_cluster1") - 1).alias("cluster"),
         "_ccos",
+        *(["_q"] if quality_col else []),
     )
     assigned = register_stage_cache(assigned.persist())
     pairs = _capped_self_pair_rows(
@@ -404,24 +415,35 @@ def semdedup(
         observation,
         cap_mode,
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("_vec").alias("_va"), F.col("_ccos").alias("_ca")
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"), F.col("_ccos").alias("_cb")
-    )
+    def _side(suffix):
+        cols = [
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("_vec").alias(f"_v{suffix}"),
+            F.col("_ccos").alias(f"_c{suffix}"),
+        ]
+        if quality_col:
+            cols.append(F.col("_q").alias(f"_q{suffix}"))
+        return assigned.select(*cols)
+
     cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
-    losers = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .where(cos >= F.lit(float(threshold)))
-        .select(
-            # pairs arrive id-ordered (id_a < id_b), so the (ccos, id)
-            # tie-break collapses: equal ccos ⇒ the loser is id_b
-            F.when(F.col("_ca") > F.col("_cb"), F.col("id_a"))
+    # pairs arrive id-ordered (id_a < id_b), so every tie-break chain
+    # bottoms out at "loser is id_b"
+    if quality_col:
+        loser = (
+            F.when(F.col("_qa") < F.col("_qb"), F.col("id_a"))
+            .when(F.col("_qa") > F.col("_qb"), F.col("id_b"))
+            .when(F.col("_ca") > F.col("_cb"), F.col("id_a"))
             .otherwise(F.col("id_b"))
-            .alias(id_col)
         )
+    else:
+        loser = F.when(F.col("_ca") > F.col("_cb"), F.col("id_a")).otherwise(
+            F.col("id_b")
+        )
+    losers = (
+        pairs.join(_side("a"), "id_a")
+        .join(_side("b"), "id_b")
+        .where(cos >= F.lit(float(threshold)))
+        .select(loser.alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )

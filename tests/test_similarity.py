@@ -362,3 +362,36 @@ def test_semdedup_shard_mode_matches_uncapped_decisions(spark):
     assert got == want
     assert sum(1 for _, k in want if not k) >= 39  # the wide group collapsed
     assert obs.get["sharded_buckets"] >= 1
+
+
+def test_semdedup_quality_col_keeps_best_member(spark):
+    """quality_col flips the keep choice: each near-dup pair keeps its
+    higher-quality member (centroid rule only on exact quality ties)."""
+    from localmod_spark.operators.similarity import _centroids, semdedup
+
+    rng = np.random.RandomState(17)
+    base = rng.randn(DIM)
+    trio = [(i, [float(x) for x in base + rng.randn(DIM) * 0.01]) for i in range(3)]
+    rest = [(10 + j, [float(x) for x in rng.randn(DIM)]) for j in range(40)]
+    # give the CENTROID-rule loser the best quality so the two rules differ
+    cents = _centroids(DIM, 4, 23)
+
+    def ccos(vec):
+        v = np.array(vec)
+        return np.max(cents @ v) / np.linalg.norm(v)
+
+    centroid_keep = min(range(3), key=lambda i: (ccos(trio[i][1]), i))
+    quality_keep = (centroid_keep + 1) % 3
+    rows = [
+        (i, v, 9.0 if i == quality_keep else 1.0 + i * 0.1) for i, v in trio
+    ] + [(i, v, 5.0) for i, v in rest]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, q double")
+    out = semdedup(
+        emb, dim=DIM, n_lists=4, threshold=0.95, seed=23, quality_col="q"
+    ).collect()
+    by_id = {r.vec_id: r.keep for r in out}
+    assert quality_keep != centroid_keep  # the scenario actually differs
+    for i in range(3):
+        assert by_id[i] == (i == quality_keep), i
+    # schema unchanged: quality stays an input, not an output column
+    assert set(out[0].asDict()) == {"vec_id", "cluster", "centroid_cos", "keep"}
