@@ -159,6 +159,7 @@ def ingest_bloom_stream(
     k: int = 5,
     seed: int = 77,
     corpus_dirs=(),
+    transform_fn=None,
     available_now: bool = True,
 ):
     """Bloom-gated exact-dedup ingest: admit only never-seen keys from an
@@ -346,7 +347,19 @@ def ingest_bloom_stream(
                 # nothing admitted: no dir (empty dirs would pollute the
                 # corpus listing), no bloom change to record
                 return
-            admitted.write.mode("overwrite").parquet(
+            landed = admitted
+            if transform_fn is not None:
+                # gate → score → land: the transform runs on admitted rows
+                # only (already deduped), but the landed rows ARE the
+                # future verification corpus, so the key column must
+                # survive it
+                landed = transform_fn(admitted)
+                if key_col not in landed.columns:
+                    raise ValueError(
+                        f"transform_fn dropped {key_col!r} — the landed rows "
+                        "are the verification corpus and must keep the key"
+                    )
+            landed.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"run={_query_id(spark)}", f"batch={batch_id}")
             )
             if params.get("last_batch") != marker:

@@ -417,3 +417,42 @@ def test_compact_ingest_corpus_preserves_dedup_and_counters(spark, tmp_path_fact
     assert res2["rows"] == 1 and res2["n_keys"] == 4
     res3 = compact_ingest_corpus(spark, out, str(root / "corpus_0003"), art)
     assert res3 == {"compacted_dirs": 0, "rows": 0, "n_keys": 4}
+
+
+def test_ingest_bloom_stream_transform_scores_admitted_rows(spark, tmp_path_factory):
+    """gate → score → land: transform_fn runs the fused scoring stage on
+    admitted rows only; landed rows keep the key column (they ARE the
+    future verification corpus) plus the moderation columns."""
+    from localmod_spark.operators.score import score_turns
+    from localmod_spark.streaming import ingest_bloom_stream
+
+    root = tmp_path_factory.mktemp("bloom_score")
+    src, out = str(root / "src"), str(root / "out")
+    spark.createDataFrame(
+        [("m0", "hello there"), ("m1", "hello there"), ("m2", "my ssn is 536-90-4399")],
+        "msg_id string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    q = ingest_bloom_stream(
+        spark.readStream.schema("msg_id string, text string").parquet(src + "/*"),
+        out, str(root / "ckpt"), str(root / "bloom"),
+        key_col="text", num_bits=1 << 14, k=3,
+        transform_fn=lambda df: score_turns(df),
+    )
+    q.awaitTermination(180)
+    landed = spark.read.parquet(out + "/run=*/batch=*")
+    rows = {r.text: r for r in landed.collect()}
+    assert set(rows) == {"hello there", "my ssn is 536-90-4399"}  # deduped
+    assert {"keep", "scrubbed_text", "severity"} <= set(landed.columns)
+    assert "[SSN]" in rows["my ssn is 536-90-4399"].scrubbed_text
+
+    # a transform that drops the key column fails the batch loudly
+    q2 = ingest_bloom_stream(
+        spark.readStream.schema("msg_id string, text string").parquet(src + "/*"),
+        str(root / "out2"), str(root / "ckpt2"), str(root / "bloom2"),
+        key_col="text", num_bits=1 << 14, k=3,
+        transform_fn=lambda df: df.drop("text"),
+    )
+    with pytest.raises(Exception) as ei:
+        q2.awaitTermination(180)
+        q2.processAllAvailable()
+    assert "must keep the key" in str(ei.value)
