@@ -43,6 +43,7 @@ from pyspark.sql.functions import broadcast
 _WORD_BITS = 64
 _DATA_SUBDIR = "words"
 _PARAMS_SUBDIR = "_bloom_params"
+_COVERED_SUBDIR = "_covered_dirs"
 
 
 def _bit_positions(col, num_bits: int, k: int, seed: int):
@@ -262,6 +263,16 @@ def save_bloom(
         "num_bits long, k int, seed int, n_keys long, "
         "last_batch string, bound_out_dir string, corpus_dirs string",
     )
+    if corpus_dirs:
+        # redundant sidecar OUTSIDE the marked-artifact dance: the params
+        # marker is deleted-then-rewritten during the save, and a crash in
+        # that window must not lose the covered-dirs record — the ingest
+        # self-heal rebuilds coverage from it.  Written FIRST (a stale
+        # words/params pair next to a newer sidecar only ever ADDS dirs,
+        # and extra genuinely-covered dirs are safe for healing).
+        spark.createDataFrame([(corpus_dirs,)], "dirs string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, _COVERED_SUBDIR))
     save_marked_artifact(
         spark,
         path,
@@ -314,3 +325,16 @@ def ensure_bloom(
         bloom = build_bloom(empty, key_col, num_bits=num_bits, k=k, seed=seed)
         save_bloom(bloom, path, num_bits=num_bits, k=k, seed=seed, n_keys=0)
     return load_bloom(spark, path)
+
+
+def covered_dirs_sidecar(spark: SparkSession, path: str) -> Tuple[str, ...]:
+    """The corpus_dirs recorded by the last save that had any — readable
+    even when the params marker is mid-rewrite (heal path).  Empty tuple
+    when the artifact never recorded external corpora."""
+    try:
+        rows = spark.read.parquet(os.path.join(path, _COVERED_SUBDIR)).collect()
+    except Exception:  # noqa: BLE001 — sidecar absent
+        return ()
+    if not rows or not rows[0]["dirs"]:
+        return ()
+    return tuple(d for d in rows[0]["dirs"].split(",") if d)

@@ -390,7 +390,18 @@ def semdedup(
     # one scores array yields BOTH the assignment (argmax position) and
     # the centroid cosine (max score / |v|; centroids are unit-norm)
     scores = F.transform(_cents_lit(cents), lambda c: _dot(F.col(vec_col), c))
-    qual = [F.col(quality_col).cast("double").alias("_q")] if quality_col else []
+    # NULL quality ranks below every real score (NULL comparisons would
+    # silently skip both quality WHEN branches and hand a scored row's
+    # fate to the centroid rule against an unscored near-dup)
+    qual = (
+        [
+            F.coalesce(F.col(quality_col).cast("double"), F.lit(float("-inf"))).alias(
+                "_q"
+            )
+        ]
+        if quality_col
+        else []
+    )
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),

@@ -137,8 +137,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
-    if args.job == "ingest" and not args.input:
-        p.error("--job ingest needs --input (a parquet dir/glob watched as a stream)")
+    if args.job == "ingest" and (not args.input or "/" not in args.input):
+        # a catalog table name would pass the batch schema read, then fail
+        # late inside readStream.parquet with a confusing path error
+        p.error("--job ingest needs --input as a parquet dir/glob PATH "
+                "(file streams cannot watch a catalog table)")
     if args.conv_max_flag_share is not None and not (
         0.0 <= args.conv_max_flag_share <= 1.0
     ):
@@ -199,7 +202,7 @@ def main(argv=None) -> int:
         bloom_dir = args.bloom_dir or os.path.join(args.output, "_bloom")
         ckpt = args.checkpoint_dir or os.path.join(args.output, "_checkpoint")
         corpus_dirs = tuple(
-            d for d in (args.corpus_dirs or "").split(",") if d.strip()
+            d.strip() for d in (args.corpus_dirs or "").split(",") if d.strip()
         )
         # schema from the existing backlog files (a stream source needs
         # one; `turns` already read the same path batch-side)
@@ -219,11 +222,13 @@ def main(argv=None) -> int:
             available_now=True,
         )
         q.awaitTermination()
+        from pyspark.errors import AnalysisException
+
         _, params = load_bloom(spark, bloom_dir)
         try:
             n_rows = spark.read.parquet(os.path.join(args.output, "run=*")).count()
-        except Exception:  # noqa: BLE001 — nothing admitted yet
-            n_rows = 0
+        except AnalysisException:  # nothing admitted yet (no run dirs);
+            n_rows = 0  # genuine read failures stay loud
         print(
             json.dumps(
                 {

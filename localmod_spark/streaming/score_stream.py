@@ -275,9 +275,15 @@ def ingest_bloom_stream(
         except ValueError:
             # crash inside a prior save's marker window: the artifact dir
             # exists but refuses to load.  Its covered key set is exactly
-            # the admitted dirs + corpus_dirs — rebuild from those with
-            # OUR params (a full rebuild is self-consistent under any).
-            corpus = _covered_corpus(spark, batch_id, ())
+            # the admitted dirs + corpus_dirs (passed AND previously
+            # recorded — the sidecar survives the marker window precisely
+            # for this: compacted corpora live only in the record) —
+            # rebuild from those with OUR params (a full rebuild is
+            # self-consistent under any).
+            from localmod_spark.operators.bloom import covered_dirs_sidecar
+
+            sidecar = covered_dirs_sidecar(spark, bloom_dir)
+            corpus = _covered_corpus(spark, batch_id, sidecar)
             if corpus is None:
                 corpus = spark.createDataFrame([], f"{key_col} string")
             corpus = corpus.dropDuplicates([key_col]).persist()
@@ -290,7 +296,7 @@ def ingest_bloom_stream(
                 seed=seed,
                 n_keys=n,
                 bound_out_dir=out_dir,
-                corpus_dirs=",".join(corpus_dirs) or None,
+                corpus_dirs=",".join(sorted(set(corpus_dirs) | set(sidecar))) or None,
             )
             corpus.unpersist()
             from localmod_spark.operators.bloom import load_bloom
@@ -351,13 +357,24 @@ def ingest_bloom_stream(
             if transform_fn is not None:
                 # gate → score → land: the transform runs on admitted rows
                 # only (already deduped), but the landed rows ARE the
-                # future verification corpus, so the key column must
-                # survive it
-                landed = transform_fn(admitted)
+                # future verification corpus, so the key column AND every
+                # row must survive it — a filtering transform would let
+                # filtered keys stay in the bloom yet vanish from the
+                # corpus, re-admitting them on redelivery.  Filter
+                # downstream of the landed dirs instead (keep/drop is a
+                # column, not an existence question).
+                # registered, so the finally's release covers error paths
+                landed = register_stage_cache(transform_fn(admitted).persist())
                 if key_col not in landed.columns:
                     raise ValueError(
                         f"transform_fn dropped {key_col!r} — the landed rows "
                         "are the verification corpus and must keep the key"
+                    )
+                if landed.count() != n_admitted:
+                    raise ValueError(
+                        "transform_fn changed the row count — it must not "
+                        "filter or fan out; the landed rows are the "
+                        "verification corpus (emit keep/drop as a column)"
                     )
             landed.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"run={_query_id(spark)}", f"batch={batch_id}")
@@ -411,15 +428,18 @@ def compact_ingest_corpus(
       3. delete the run dirs.
 
     Die after (1): dest exists but unrecorded, run dirs intact — the
-    verification corpus is still complete and a re-run overwrites dest
-    idempotently.  Die after (2): the keys exist in BOTH the recorded
-    dest and the run dirs — duplicates are harmless to an anti-join; a
-    re-run deletes the leftovers.  An uncommitted tail batch whose dir
-    gets compacted re-admits nothing on retry (its keys verify against
-    dest) and skips its write — data preserved, counters already exact.
+    verification corpus is still complete and a re-run (with a FRESH
+    dest_dir; reusing a recorded one is refused) re-copies the rows.
+    Die after (2): the keys exist in BOTH the recorded dest and the run
+    dirs — duplicates are harmless to an anti-join; a re-run deletes the
+    leftovers.  An uncommitted tail batch whose dir gets compacted
+    re-admits nothing on retry: its keys verify against dest, and its
+    bits are folded into the filter here (step 2 extends before saving —
+    the (3)-(4) ingest crash window leaves keys OUT of the bits, and
+    compaction must not let them bypass verification as definitely-new).
 
     Returns {"compacted_dirs", "rows", "n_keys"}."""
-    from localmod_spark.operators.bloom import load_bloom, save_bloom
+    from localmod_spark.operators.bloom import extend_bloom, load_bloom, save_bloom
     from localmod_spark.plans.pipeline import _hadoop_fs
 
     bloom, params = load_bloom(spark, bloom_dir)
@@ -428,14 +448,23 @@ def compact_ingest_corpus(
         raise ValueError(
             f"bloom artifact {bloom_dir} is bound to {bound!r}, not {out_dir!r}"
         )
+    recorded_now = set(d for d in (params.get("corpus_dirs") or "").split(",") if d)
+    fs, _ = _hadoop_fs(spark, out_dir)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    if dest_dir in recorded_now or fs.exists(jpath(dest_dir)):
+        # overwriting a recorded corpus dir would DESTROY previously
+        # admitted rows while the bloom bits still cover their keys
+        raise ValueError(
+            f"compaction dest {dest_dir!r} already exists or is a recorded "
+            "corpus dir — pass a fresh dest per compaction"
+        )
     run_dirs = _ingest_batch_dirs(spark, out_dir)
     if not run_dirs:
         return {"compacted_dirs": 0, "rows": 0, "n_keys": params["n_keys"]}
     rows = spark.read.parquet(*run_dirs)
     rows.write.mode("overwrite").parquet(dest_dir)
     n_rows = spark.read.parquet(dest_dir).count()
-    recorded = set(d for d in (params.get("corpus_dirs") or "").split(",") if d)
-    new_dirs = sorted(recorded | {dest_dir})
+    new_dirs = sorted(recorded_now | {dest_dir})
     n_keys = (
         spark.read.parquet(*new_dirs)
         .select(key_col)
@@ -444,7 +473,17 @@ def compact_ingest_corpus(
         .first()["n"]
     )
     save_bloom(
-        bloom,
+        # fold the compacted keys' bits in: an uncommitted tail batch's
+        # keys may be missing from the filter (ingest died between its
+        # data write and its save) and must not probe definitely-new
+        extend_bloom(
+            bloom,
+            spark.read.parquet(dest_dir),
+            key_col,
+            num_bits=params["num_bits"],
+            k=params["k"],
+            seed=params["seed"],
+        ),
         bloom_dir,
         num_bits=params["num_bits"],
         k=params["k"],
@@ -454,10 +493,7 @@ def compact_ingest_corpus(
         bound_out_dir=bound or out_dir,
         corpus_dirs=",".join(new_dirs),
     )
-    fs, _ = _hadoop_fs(spark, out_dir)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    root = jpath(out_dir)
-    for st in fs.listStatus(root):
+    for st in fs.listStatus(jpath(out_dir)):
         if st.isDirectory() and st.getPath().getName().startswith("run="):
             fs.delete(st.getPath(), True)
     return {"compacted_dirs": len(run_dirs), "rows": n_rows, "n_keys": n_keys}

@@ -395,3 +395,20 @@ def test_semdedup_quality_col_keeps_best_member(spark):
         assert by_id[i] == (i == quality_keep), i
     # schema unchanged: quality stays an input, not an output column
     assert set(out[0].asDict()) == {"vec_id", "cluster", "centroid_cos", "keep"}
+
+    # NULL quality ranks BELOW any real score: the scored member of a
+    # scored/unscored near-dup pair always survives
+    rng2 = np.random.RandomState(19)
+    base2 = rng2.randn(DIM)
+    rows2 = [
+        (0, [float(x) for x in base2], None),
+        (1, [float(x) for x in base2 + rng2.randn(DIM) * 0.005], 0.001),
+    ] + [(10 + j, [float(x) for x in rng2.randn(DIM)], 5.0) for j in range(30)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, q double")
+    got = {
+        r.vec_id: r.keep
+        for r in semdedup(
+            emb2, dim=DIM, n_lists=4, threshold=0.95, quality_col="q"
+        ).collect()
+    }
+    assert got[1] and not got[0]
