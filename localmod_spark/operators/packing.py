@@ -87,7 +87,11 @@ def chunk_fixed(
     waste, documents straddle chunk boundaries; the final partial chunk
     is emitted with its true length (callers drop or pad it).
 
-    → (group_col, chunk_id: long, n_tokens: long, tokens: array).
+    → (group_col, chunk_id: long, n_tokens: long, tokens: array,
+    doc_starts: array<int>) — ``doc_starts`` lists the in-chunk positions
+    where a NEW document begins (continuations spilling over from the
+    previous chunk are not starts): the boundary metadata trainers use
+    to reset attention / mask loss across packed documents.
 
     Scale shape: the stream offset is ONE bounded window per group (the
     group key must bound group size, exactly :func:`pack_greedy`'s rule —
@@ -139,6 +143,11 @@ def chunk_fixed(
         "chunk_id",
         "_off",
         F.slice(F.col("_toks"), (s_in + 1).cast("int"), seg_len.cast("int")).alias("_seg"),
+        # a segment with s_in == 0 BEGINS its document: its in-chunk
+        # position is a doc boundary (continuations from the previous
+        # chunk are not) — trainers mask attention/loss across these
+        F.when(s_in == F.lit(0), (F.col("_off") - F.col("chunk_id") * L).cast("int"))
+        .alias("_bpos"),
     )
     assembled = (
         segs.groupBy(group_col, "chunk_id")
@@ -148,13 +157,16 @@ def chunk_fixed(
                     F.array_sort(F.collect_list(F.struct(F.col("_off"), F.col("_seg")))),
                     lambda s: s["_seg"],
                 )
-            ).alias("tokens")
+            ).alias("tokens"),
+            # collect_list drops the NULL continuations
+            F.array_sort(F.collect_list("_bpos")).alias("doc_starts"),
         )
         .select(
             group_col,
             "chunk_id",
             F.size("tokens").cast("long").alias("n_tokens"),
             "tokens",
+            "doc_starts",
         )
     )
     return assembled
