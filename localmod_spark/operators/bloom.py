@@ -263,16 +263,26 @@ def save_bloom(
         "num_bits long, k int, seed int, n_keys long, "
         "last_batch string, bound_out_dir string, corpus_dirs string",
     )
+    # redundant sidecar OUTSIDE the marked-artifact dance: the params
+    # marker is deleted-then-rewritten during the save, and a crash in
+    # that window must not lose the covered-dirs record — the ingest
+    # self-heal rebuilds coverage from it.  Maintained FIRST on every
+    # save (a stale words/params pair next to a newer sidecar only ever
+    # ADDS genuinely-covered dirs, safe for healing) and DELETED when
+    # coverage is deliberately reset (corpus_dirs=None) so a from-scratch
+    # rebuild can't resurrect discarded corpora.
     if corpus_dirs:
-        # redundant sidecar OUTSIDE the marked-artifact dance: the params
-        # marker is deleted-then-rewritten during the save, and a crash in
-        # that window must not lose the covered-dirs record — the ingest
-        # self-heal rebuilds coverage from it.  Written FIRST (a stale
-        # words/params pair next to a newer sidecar only ever ADDS dirs,
-        # and extra genuinely-covered dirs are safe for healing).
         spark.createDataFrame([(corpus_dirs,)], "dirs string").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(path, _COVERED_SUBDIR))
+    else:
+        from localmod_spark.plans.pipeline import _hadoop_fs
+
+        fs, _ = _hadoop_fs(spark, path)
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(os.path.join(path, _COVERED_SUBDIR)),
+            True,
+        )
     save_marked_artifact(
         spark,
         path,
@@ -330,11 +340,17 @@ def ensure_bloom(
 def covered_dirs_sidecar(spark: SparkSession, path: str) -> Tuple[str, ...]:
     """The corpus_dirs recorded by the last save that had any — readable
     even when the params marker is mid-rewrite (heal path).  Empty tuple
-    when the artifact never recorded external corpora."""
-    try:
-        rows = spark.read.parquet(os.path.join(path, _COVERED_SUBDIR)).collect()
-    except Exception:  # noqa: BLE001 — sidecar absent
+    ONLY when the sidecar genuinely does not exist; any other read
+    failure propagates (a torn/unreadable record silently mapped to ()
+    would heal the filter WITHOUT its compacted corpora and re-admit
+    their keys)."""
+    from localmod_spark.plans.pipeline import _hadoop_fs
+
+    side = os.path.join(path, _COVERED_SUBDIR)
+    fs, _ = _hadoop_fs(spark, path)
+    if not fs.exists(spark._jvm.org.apache.hadoop.fs.Path(side)):
         return ()
+    rows = spark.read.parquet(side).collect()
     if not rows or not rows[0]["dirs"]:
         return ()
     return tuple(d for d in rows[0]["dirs"].split(",") if d)

@@ -363,7 +363,8 @@ def ingest_bloom_stream(
                 # corpus, re-admitting them on redelivery.  Filter
                 # downstream of the landed dirs instead (keep/drop is a
                 # column, not an existence question).
-                # registered, so the finally's release covers error paths
+                # the persist is registered, so the finally's
+                # release_stage_caches covers the raise paths below too
                 landed = register_stage_cache(transform_fn(admitted).persist())
                 if key_col not in landed.columns:
                     raise ValueError(
@@ -451,7 +452,10 @@ def compact_ingest_corpus(
     recorded_now = set(d for d in (params.get("corpus_dirs") or "").split(",") if d)
     fs, _ = _hadoop_fs(spark, out_dir)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    if dest_dir in recorded_now or fs.exists(jpath(dest_dir)):
+    # dest may live on a different filesystem than out_dir — resolve its
+    # own FS for the existence probe
+    dest_fs, _ = _hadoop_fs(spark, dest_dir)
+    if dest_dir in recorded_now or dest_fs.exists(jpath(dest_dir)):
         # overwriting a recorded corpus dir would DESTROY previously
         # admitted rows while the bloom bits still cover their keys
         raise ValueError(
