@@ -128,6 +128,12 @@ def main(argv=None) -> int:
         "(default: whole backlog in one micro-batch)",
     )
     p.add_argument(
+        "--score-admitted", action="store_true",
+        help="[ingest] run the fused moderation scoring stage on admitted "
+        "rows before landing them (gate -> score -> land; the input needs "
+        "a text column)",
+    )
+    p.add_argument(
         "--model-dir", default=None,
         help="local HF checkpoint dir (or LOCALMOD_SPARK_MODEL_DIR): when "
         "torch/transformers and checkpoints are present, the O3/O6 slots run "
@@ -209,6 +215,11 @@ def main(argv=None) -> int:
         reader = spark.readStream.schema(turns.schema)
         if args.files_per_batch:
             reader = reader.option("maxFilesPerTrigger", args.files_per_batch)
+        transform = None
+        if args.score_admitted:
+            from localmod_spark.operators.score import score_turns
+
+            transform = score_turns
         q = ingest_bloom_stream(
             reader.parquet(args.input),
             args.output,
@@ -219,6 +230,7 @@ def main(argv=None) -> int:
             k=args.bloom_k,
             seed=args.bloom_seed,
             corpus_dirs=corpus_dirs,
+            transform_fn=transform,
             available_now=True,
         )
         q.awaitTermination()

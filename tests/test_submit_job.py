@@ -193,7 +193,7 @@ def test_submit_job_ingest_drains_backlog_exactly_once(tmp_path):
         p = subprocess.run(
             [sys.executable, SCRIPT, "--job", "ingest", "--input", f"{src}/*",
              "--output", out, "--bloom-bits", str(1 << 14), "--bloom-k", "3",
-             "--files-per-batch", "1"],
+             "--files-per-batch", "1", "--score-admitted"],
             capture_output=True, text=True, timeout=420, cwd="/tmp",
         )
         assert p.returncode == 0, p.stderr[-2000:]
@@ -214,7 +214,7 @@ def test_submit_job_ingest_drains_backlog_exactly_once(tmp_path):
     import pandas as pd
 
     files = glob.glob(out + "/run=*/batch=*/*.parquet")
-    texts = sorted(
-        t for f in files for t in pd.read_parquet(f)["text"].tolist()
-    )
-    assert texts == ["alpha", "beta", "delta", "gamma"]
+    landed = pd.concat([pd.read_parquet(f) for f in files])
+    assert sorted(landed["text"].tolist()) == ["alpha", "beta", "delta", "gamma"]
+    # --score-admitted: gate -> score -> land, moderation columns present
+    assert {"keep", "scrubbed_text", "severity"} <= set(landed.columns)
