@@ -1338,3 +1338,50 @@ def ngram_jaccard(
     return joined.withColumn("jaccard", _jac(F.col("text_a"), F.col("text_b"))).drop(
         "text_a", "text_b"
     )
+
+
+def tune_lsh_bands(
+    threshold: float,
+    n_perm: int = 64,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> tuple:
+    """Pick ``(bands, rows_per_band)`` for MinHash banding so the S-curve
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b crosses 0.5 near the
+    target ``threshold``: minimize the weighted false-positive /
+    false-negative areas of the curve on either side of the threshold
+    (the standard banding-tuning integral — Leskovec/Rajaraman/Ullman,
+    *Mining of Massive Datasets* §3.4; same objective as datasketch's
+    `_optimal_param`).  Numeric midpoint integration, driver-side, over
+    every (b, r) with b·r ≤ n_perm — n_perm is small (a sketch width),
+    so this is O(n_perm·ln n_perm · quadrature) ≈ instant.
+
+    At 10^12 docs the banding choice IS the cost model: bands drive the
+    shuffle fan-out (b rows per doc) and rows_per_band drives bucket
+    collision rates, so tune rather than guess — then pass the result to
+    :func:`minhash_candidates` (``fn_weight`` > ``fp_weight`` when
+    dropped near-dups are costlier than wasted verifications).
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    q = 200  # quadrature points per unit interval
+    best = None
+    for b in range(1, n_perm + 1):
+        for r in range(1, n_perm // b + 1):
+            fp = fn = 0.0
+            # false positives: area under the curve left of threshold
+            n_lo = max(1, int(q * threshold))
+            for i in range(n_lo):
+                s = threshold * (i + 0.5) / n_lo
+                fp += (1.0 - (1.0 - s**r) ** b) * (threshold / n_lo)
+            # false negatives: area ABOVE the curve (1 - P) right of threshold
+            n_hi = max(1, int(q * (1.0 - threshold)))
+            for i in range(n_hi):
+                s = threshold + (1.0 - threshold) * (i + 0.5) / n_hi
+                fn += ((1.0 - s**r) ** b) * ((1.0 - threshold) / n_hi)
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0]:
+                best = (err, b, r)
+    return best[1], best[2]

@@ -724,3 +724,31 @@ def test_dedup_paragraphs_separator_with_embedded_quote_end(spark):
     out = {r.doc_id: r for r in dedup_paragraphs(docs, sep=sep, min_docs=2).collect()}
     assert out[0].scrubbed_text == "unique zero"
     assert out[0].n_flagged_spans == 1
+
+
+def test_tune_lsh_bands_properties():
+    """Banding tuner: budget respected, S-curve crossover brackets the
+    threshold, fn-weighting biases toward recall, crossover monotone in
+    the threshold, bad inputs raise."""
+    import pytest as _pytest
+
+    from localmod_spark.operators.dedup import tune_lsh_bands
+
+    def curve(s, b, r):
+        return 1.0 - (1.0 - s**r) ** b
+
+    crossovers = []
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = tune_lsh_bands(t, 64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        assert curve(max(t - 0.2, 0.01), b, r) < 0.5 < curve(min(t + 0.2, 0.99), b, r), t
+        crossovers.append((1.0 / b) ** (1.0 / r))
+    assert crossovers == sorted(crossovers)  # monotone in threshold
+    # recall bias: weighting false negatives pulls the crossover DOWN
+    b0, r0 = tune_lsh_bands(0.8, 64)
+    b1, r1 = tune_lsh_bands(0.8, 64, fn_weight=5.0)
+    assert (1.0 / b1) ** (1.0 / r1) < (1.0 / b0) ** (1.0 / r0)
+    with _pytest.raises(ValueError):
+        tune_lsh_bands(1.5, 64)
+    with _pytest.raises(ValueError):
+        tune_lsh_bands(0.5, 1)
