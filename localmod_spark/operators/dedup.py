@@ -614,14 +614,37 @@ def repeated_spans(
     word grams provably miss (tested).  Char mode materializes
     O(chars·n) gram bytes before the frequency cut — use a larger ``n``
     (~4-6 words' worth) and the same ``max_df``/``join_on_hash`` escape
-    hatches at scale."""
+    hatches at scale.
+
+    Plan shape (r7): without an ``observation`` the doc-frequency is a
+    ``collect_set`` WINDOW over the gram key instead of the
+    countDistinct-aggregate + join-back — the span build (the CPU hot
+    spot: O(tokens·n) slice/substr per position) then has exactly ONE
+    consumer, so it executes once instead of twice (column pruning made
+    the aggregate branch's subtree differ from the probe branch's, which
+    defeated exchange reuse), and the gram key crosses the network once
+    instead of three times (measured 1.9 s → 0.9 s char-30 at sf0.1,
+    identical rows).  With an ``observation`` the aggregate shape is
+    kept: the cap counters are per-gram metrics and ride the frequency
+    aggregate's action."""
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     empty = F.array().cast("array<struct<pos:int,gram:string>>")
+    # The span build is the CPU hot spot (O(tokens·n) slice+join per
+    # position) and the doc table may arrive in few/one input split(s) —
+    # spread it across the cluster before the projection.  Word mode
+    # materializes the token array BEHIND that exchange: a tokenizer
+    # expression referenced from inside the transform lambda is re-inlined
+    # by project collapse and re-split per position (measured 1.2 s →
+    # 0.9 s at sf0.1 from this alone); an Exchange is a hard projection
+    # boundary, so the lambda sees a real attribute.
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     if unit == "word":
-        toks = F.filter(
+        toks_expr = F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
         )
+        src = docs.select(F.col(id_col), toks_expr.alias("_toks")).repartition(n_part)
+        toks = F.col("_toks")
         spans_arr = F.when(
             F.size(toks) >= n,
             F.transform(
@@ -632,6 +655,7 @@ def repeated_spans(
             ),
         ).otherwise(empty)
     else:
+        src = docs.select(F.col(id_col), F.col(text_col)).repartition(n_part)
         txt = F.col(text_col)
         spans_arr = F.when(
             F.length(txt) >= n,
@@ -642,14 +666,6 @@ def repeated_spans(
                 ),
             ),
         ).otherwise(empty)
-    # The span build is the CPU hot spot (O(tokens·n) slice+join per
-    # position) and the doc table may arrive in few/one input split(s) —
-    # spread it across the cluster before the projection; the exchange is
-    # also REUSED by the plan's two span consumers (frequency branch and
-    # the join-back), so the input is scanned once (measured 3× at sf0.1).
-    src = docs.select(F.col(id_col), F.col(text_col)).repartition(
-        max(docs.sparkSession.sparkContext.defaultParallelism, 8)
-    )
     spans = src.select(F.col(id_col), F.explode(spans_arr).alias("s")).select(
         id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
     )
@@ -657,14 +673,23 @@ def repeated_spans(
     if join_on_hash:
         spans = spans.withColumn("_gh", F.xxhash64("gram"))
         key = "_gh"
+    if observation is None:
+        # single-consumer shape: the window's own gram exchange is the
+        # only shuffle, and the span build upstream runs exactly once
+        w = Window.partitionBy(key)
+        out = spans.withColumn(
+            "n_docs", F.size(F.collect_set(id_col).over(w)).cast("long")
+        ).where(F.col("n_docs") >= min_docs)
+        if max_df is not None:
+            out = out.where(F.col("n_docs") <= max_df)
+        return out.select(id_col, "pos", "gram", "n_docs")
     freq = spans.groupBy(key).agg(F.countDistinct(id_col).alias("n_docs"))
-    if observation is not None:
-        cap = max_df if max_df is not None else (1 << 62)
-        freq = freq.observe(
-            observation,
-            F.sum((F.col("n_docs") > cap).cast("long")).alias("dropped_grams"),
-            F.max("n_docs").alias("max_gram_df"),
-        )
+    cap = max_df if max_df is not None else (1 << 62)
+    freq = freq.observe(
+        observation,
+        F.sum((F.col("n_docs") > cap).cast("long")).alias("dropped_grams"),
+        F.max("n_docs").alias("max_gram_df"),
+    )
     freq = freq.where(F.col("n_docs") >= min_docs)
     if max_df is not None:
         freq = freq.where(F.col("n_docs") <= max_df)
@@ -688,19 +713,30 @@ def remove_repeated_spans(
 
     A token at offset ``i`` is cut iff SOME flagged span covers it
     (``∃ pos: pos ≤ i < pos+n``) — coverage over the span-start set, so
-    overlapping spans merge implicitly (no interval-merge pass needed);
-    the splice happens once per document, analogous to the PII scrub's
-    end→start byte splice.  Reconstruction keeps the ORIGINAL token case
-    and single-space joins (flagging tokenizes lowercase; positions map
-    1:1 because lowering never changes whitespace).
+    overlapping spans merge implicitly; the splice happens once per
+    document, analogous to the PII scrub's end→start byte splice.
+    Reconstruction keeps the ORIGINAL token case and single-space joins
+    (flagging tokenizes lowercase; positions map 1:1 because lowering
+    never changes whitespace).
 
-    Shape: :func:`repeated_spans` (all-JVM) → per-doc span-start set
-    (one grouped ``collect_set`` — bounded by tokens-per-doc, never by
-    corpus size) → LEFT join back to the docs → an indexed ``transform``
-    + ``exists`` filter over the token array, still whole-stage-codegen
-    JVM.  ``spans`` (optional) accepts a precomputed/staged
-    :func:`repeated_spans` output so flag + cut pipelines pay the span
-    build once (it must have been built with the same ``unit``/``n``).
+    Shape (r7, VERDICT-r6 #4): :func:`repeated_spans` (all-JVM) →
+    per-doc SORTED span-start array (one grouped
+    ``array_sort(collect_set)`` — bounded by tokens-per-doc, never by
+    corpus size) → LEFT join back to the docs → GAP reconstruction:
+    because every span has the same fixed length ``n``, the coverage of
+    all starts ≤ p ends exactly at p+n, so the kept text is the
+    concatenation of the inter-span gaps ``[sp[i]+n, sp[i+1])`` plus
+    head/tail — one bulk ``substr``/``slice`` per gap instead of an
+    ``exists`` over the span set per token (O(gaps) vs O(tokens·spans)
+    per doc; the per-token scan was the stage a boilerplate-heavy doc
+    with thousands of flagged starts would die in first).  The sort
+    lives INSIDE the aggregate so ``_sp`` is a real attribute — an
+    ``array_sort`` referenced from inside the transform lambda would be
+    re-inlined by project collapse and re-evaluated per element
+    (measured: 52 s vs 1.9 s at sf0.1 for the char leg).  ``spans``
+    (optional) accepts a precomputed/staged :func:`repeated_spans`
+    output so flag + cut pipelines pay the span build once (it must
+    have been built with the same ``unit``/``n``).
 
     ``unit="char"`` cuts character spans from the RAW text (no
     whitespace re-normalization — untouched bytes survive verbatim),
@@ -715,25 +751,63 @@ def remove_repeated_spans(
             max_df=max_df, observation=observation, unit=unit,
         )
     )
-    pos_tbl = flagged.groupBy(id_col).agg(F.collect_set("pos").alias("_span_pos"))
-    if unit == "word":
-        toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
-        joiner = " "
-    else:
-        toks = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
-        joiner = ""
-    ps = F.coalesce(F.col("_span_pos"), F.array().cast("array<int>"))
-    covered = lambda i: F.exists(ps, lambda p: (p <= i) & (i < p + F.lit(n)))  # noqa: E731
-    kept = F.filter(
-        F.transform(toks, lambda x, i: F.when(covered(i), F.lit(None)).otherwise(x)),
-        lambda x: x.isNotNull(),
+    pos_tbl = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("_sp")
     )
+    sp = F.col("_sp")
+    k = F.size(sp)
+    txt = F.col(text_col)
+    if unit == "word":
+        # tokenize ONCE on the join's docs side: a tokenizer expression
+        # referenced from inside the gap lambdas would be re-inlined by
+        # project collapse and re-split per gap; the join is a hard
+        # projection boundary, so the lambdas see a real attribute
+        toks_expr = F.filter(F.split(F.trim(txt), r"\s+"), lambda x: x != "")
+        docs = docs.select(F.col(id_col), toks_expr.alias("_toks"))
+    if unit == "char":
+        total = F.length(txt)
+
+        def _piece(i):
+            head = txt.substr(F.lit(1), F.element_at(sp, 1))
+            tail = txt.substr(
+                F.element_at(sp, k) + n + 1,
+                F.greatest(total - (F.element_at(sp, k) + n), F.lit(0)),
+            )
+            gap_start = F.element_at(sp, i) + n
+            gap_len = F.element_at(sp, i + 1) - gap_start
+            mid = txt.substr(gap_start + 1, F.greatest(gap_len, F.lit(0)))
+            return F.when(i == 0, head).when(i == k, tail).otherwise(mid)
+
+        scrubbed = F.when(sp.isNull() | (k == 0), txt).otherwise(
+            F.array_join(F.transform(F.sequence(F.lit(0), k), _piece), "")
+        )
+    else:
+        toks = F.col("_toks")
+        total = F.size(toks)
+
+        def _piece(i):
+            head = F.slice(toks, 1, F.element_at(sp, 1))
+            tail = F.slice(
+                toks,
+                F.element_at(sp, k) + n + 1,
+                F.greatest(total - (F.element_at(sp, k) + n), F.lit(0)),
+            )
+            gap_start = F.element_at(sp, i) + n
+            gap_len = F.element_at(sp, i + 1) - gap_start
+            mid = F.slice(toks, gap_start + 1, F.greatest(gap_len, F.lit(0)))
+            return F.when(i == 0, head).when(i == k, tail).otherwise(mid)
+
+        scrubbed = F.when(sp.isNull() | (k == 0), F.array_join(toks, " ")).otherwise(
+            F.array_join(F.flatten(F.transform(F.sequence(F.lit(0), k), _piece)), " ")
+        )
     return (
         docs.join(pos_tbl, id_col, "left")
         .select(
             F.col(id_col),
-            F.array_join(kept, joiner).alias("scrubbed_text"),
-            F.size(ps).alias("n_flagged_spans"),
+            scrubbed.alias("scrubbed_text"),
+            F.size(F.coalesce(sp, F.array().cast("array<int>"))).alias(
+                "n_flagged_spans"
+            ),
         )
     )
 
@@ -786,19 +860,30 @@ def dedup_paragraphs(
     )
     key = F.lower(F.trim(F.col("_para"))) if normalize else F.col("_para")
     paras = paras.withColumn("_k", key)
-    flagged_keys = (
-        paras.where(F.trim(F.col("_para")) != "")
-        .groupBy("_k")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("_k", F.lit(True).alias("_dup"))
+    # r7: the doc-frequency is a collect_set WINDOW over the paragraph
+    # key instead of a count_distinct aggregate + join-back — the explode
+    # then has ONE consumer (it used to run twice: once under the
+    # frequency branch, once under the reassembly) and the plan drops
+    # from three exchanges to two.  Whitespace-only paragraphs are NEVER
+    # flagged: they are excluded from the distinct-doc count (the `when`
+    # feeds collect_set nulls, which it ignores) and `_dup` is gated on
+    # the row's own paragraph being non-blank, exactly the old WHERE.
+    w_k = Window.partitionBy("_k")
+    nd = F.size(
+        F.collect_set(
+            F.when(F.trim(F.col("_para")) != "", F.col(id_col))
+        ).over(w_k)
+    )
+    paras = paras.withColumn(
+        "_dup", (F.trim(F.col("_para")) != "") & (nd >= min_docs)
     )
     joined = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
                     F.when(
-                        F.col("_dup").isNull() & F.col("_pos").isNotNull(),
+                        ~F.coalesce(F.col("_dup"), F.lit(False))
+                        & F.col("_pos").isNotNull(),
                         F.struct("_pos", "_para"),
                     )
                 )
@@ -808,7 +893,7 @@ def dedup_paragraphs(
         sep,
     )
     return (
-        paras.join(flagged_keys, "_k", "left")
+        paras
         .groupBy(id_col)
         .agg(
             # a NULL-text doc scrubs to NULL (remove_repeated_spans parity),
