@@ -45,7 +45,7 @@ def cosine_topk(
     top-k is a TakeOrdered — no full sort materialization.
     """
     q = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"), _norm(F.col(vec_col)).alias("_qn")
     )
     scored = (
         embeddings.where(F.col(id_col) != query_vec_id)
@@ -54,7 +54,7 @@ def cosine_topk(
             id_col,
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                / (_norm(F.col(vec_col)) * F.col("_qn")),
                 4,
             ).alias("cosine"),
         )
@@ -119,12 +119,17 @@ def quantized_topk(
             lambda acc, x: acc + x,
         )
 
-    qrow = quantized.where(F.col(id_col) == query_vec_id).select(F.col(q_col).alias("_qq"))
+    qrow = quantized.where(F.col(id_col) == query_vec_id).select(
+        F.col(q_col).alias("_qq"),
+        F.sqrt(qdot(F.col(q_col), F.col(q_col)).cast("double")).alias("_qqn"),
+    )
+    # per-row constants (own norms) precomputed on each side — only the
+    # cross dot varies per pair; same multiply order, bit-identical score
     raw = (
         qdot(F.col(q_col), F.col("_qq")).cast("double")
         / (
             F.sqrt(qdot(F.col(q_col), F.col(q_col)).cast("double"))
-            * F.sqrt(qdot(F.col("_qq"), F.col("_qq")).cast("double"))
+            * F.col("_qqn")
         )
     )
     scored = (
@@ -152,10 +157,18 @@ def embedding_near_dups(
     on bucket equality first (same output contract, candidates only);
     see `lsh_topk` for the bucketed probe shape.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -215,10 +228,18 @@ def lsh_embedding_dups(
         ).select("id_a", "id_b")
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.dropDuplicates(["id_a", "id_b"])
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     pairs = cands.join(va, "id_a").join(vb, "id_b")
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -237,20 +258,71 @@ def with_lsh_bucket(
     Hyperplanes are deterministic (seeded numpy) and embedded as array
     literals → bucket assignment is a pure column expression; the ANN
     query becomes a bucket-equality join (shuffle on bucket, prunable).
+
+    r7: ONE sign lambda over a 2-D (plane, power-of-two) struct literal
+    instead of ``n_planes`` unrolled dot expressions — identical integer
+    bucket (bit i set iff dot_i > 0; integer sums are exact in any
+    order), n_planes× smaller generated code, same reasoning as
+    :func:`with_ivf_list`'s codegen note.
     """
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        sign = (_dot(F.col(vec_col), plane) > 0).cast("int")
-        bucket = bucket + sign * (1 << i)
-    return embeddings.withColumn("lsh_bucket", bucket)
+    p2d = _memo_lit(
+        "planes",
+        planes.tobytes(),
+        lambda: F.array(
+            *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+        ),
+    )
+    pows = F.lit([1 << i for i in range(n_planes)]).cast("array<int>")
+    bits = F.transform(
+        p2d,
+        lambda p, i: F.when(
+            _dot(F.col(vec_col), p) > 0, F.element_at(pows, i + 1)
+        ).otherwise(F.lit(0)),
+    )
+    return embeddings.withColumn(
+        "lsh_bucket", F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+    )
+
+
+_LIT_CACHE: dict = {}
+
+
+def _memo_lit(tag: str, key: bytes, build) -> "F.Column":
+    """Session-scoped memo for big literal Columns.
+
+    Building a 16×64 matrix literal costs ~2,000 py4j roundtrips (~0.8 s
+    of pure driver time — ``F.lit`` of a list recurses per element), and
+    the ANN queries build the same literal several times per run (list
+    assignment + per-query ranking, two reps, the recall query's two
+    legs).  A Column is an immutable expression handle, not data, so
+    reusing the SAME object across plan builds changes nothing about
+    what executes; the cache keys on the SparkContext's applicationId so
+    a new session never sees a stale JVM handle."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    k = (app, tag, key)
+    col = _LIT_CACHE.get(k)
+    if col is None:
+        for stale in [x for x in _LIT_CACHE if x[0] != app]:
+            del _LIT_CACHE[stale]  # only the live session's literals retained
+        col = build()
+        _LIT_CACHE[k] = col
+    return col
 
 
 def _cents_lit(cents) -> "F.Column":
-    """Centroid matrix as a 2-D array literal (array<array<double>>)."""
-    return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    """Centroid matrix as a 2-D array literal (array<array<double>>),
+    memoized per session (see :func:`_memo_lit`)."""
+    arr = np.asarray(cents, dtype=np.float64)
+    return _memo_lit(
+        "cents",
+        arr.tobytes(),
+        lambda: F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in arr]),
+    )
 
 
 def _centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
@@ -405,6 +477,7 @@ def semdedup(
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_vn"),
         F.array_position(scores, F.array_max(scores))
         .cast("long")
         .alias("_cluster1"),  # 1-based; -1 below keeps one expression tree
@@ -413,6 +486,7 @@ def semdedup(
     ).select(
         id_col,
         "_vec",
+        "_vn",
         (F.col("_cluster1") - 1).alias("cluster"),
         "_ccos",
         *(["_q"] if quality_col else []),
@@ -430,13 +504,14 @@ def semdedup(
         cols = [
             F.col(id_col).alias(f"id_{suffix}"),
             F.col("_vec").alias(f"_v{suffix}"),
+            F.col("_vn").alias(f"_n{suffix}"),
             F.col("_ccos").alias(f"_c{suffix}"),
         ]
         if quality_col:
             cols.append(F.col("_q").alias(f"_q{suffix}"))
         return assigned.select(*cols)
 
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     # pairs arrive id-ordered (id_a < id_b), so every tie-break chain
     # bottoms out at "loser is id_b"
     if quality_col:
@@ -496,7 +571,7 @@ def ivf_topk(
     probe = np.argsort(-(cents @ qvec))[:n_probe].tolist()
 
     q = embeddings_with_list.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_qvec")
+        F.col(vec_col).alias("_qvec"), _norm(F.col(vec_col)).alias("_qn")
     )
     scored = (
         embeddings_with_list.where(
@@ -508,7 +583,7 @@ def ivf_topk(
             "ivf_list",
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                / (_norm(F.col(vec_col)) * F.col("_qn")),
                 4,
             ).alias("cosine"),
         )
@@ -560,7 +635,7 @@ def lsh_topk(
     if q_row is None:
         raise ValueError(f"query {id_col}={query_vec_id} not found")
     qbucket = int(q_row[0])
-    qvec = F.array(*[F.lit(float(v)) for v in q_row[1]])
+    qvec = F.lit([float(v) for v in q_row[1]])
     probe_buckets = [qbucket]
     if hamming >= 1:
         # flipping exactly one plane sign toggles exactly one bucket bit
@@ -580,13 +655,22 @@ def _per_query_topk(joined: DataFrame, k: int, id_col: str, vec_col: str) -> Dat
     """Shared tail of the batched ANN joins (exact / LSH / IVF): cosine
     against the joined ``_qvec``, then per-query ``row_number`` top-k —
     keeping the score arithmetic and tie-break identical across all
-    three operators (and their SQL oracles)."""
+    three operators (and their SQL oracles).
+
+    r7: expects the norms PRE-COMPUTED on each side before the join
+    (``_cn`` on the corpus row, ``_qn`` on the query row): a vector's
+    norm is a per-row constant, so evaluating it inside the per-PAIR
+    projection re-ran two 64-wide array aggregates per candidate pair —
+    3× the arithmetic of the dot that actually varies per pair.  The
+    divisor ``_cn * _qn`` multiplies the same two doubles in the same
+    order as the old ``_norm(vec) * _norm(_qvec)``, so every cosine is
+    bit-identical (measured: knn_join 1.63 → 1.05 s at sf0.1, 0 row
+    diffs)."""
     scored = joined.select(
         "query_id",
         id_col,
         F.round(
-            _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+            _dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
             4,
         ).alias("cosine"),
     )
@@ -616,8 +700,16 @@ def knn_join(
     sized query sets use :func:`ann_join_topk` (bucket equi-join)."""
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
-    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qvec"))
-    joined = corpus.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qvec).alias("_qvec"),
+        _norm(F.col(qvec)).alias("_qn"),
+    )
+    joined = (
+        corpus.withColumn("_cn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+    )
     return _per_query_topk(joined, k, id_col, vec_col)
 
 
@@ -671,7 +763,9 @@ def ann_join_topk(
     _check_cap_mode(cap_mode, max_bucket)
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
-    corpus_b = with_lsh_bucket(corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col)
+    corpus_b = with_lsh_bucket(
+        corpus, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
+    ).withColumn("_cn", _norm(F.col(vec_col)))
     sharding = max_bucket is not None and cap_mode == "shard"
     if sharding:
         wk = _wide_buckets(corpus_b, ["lsh_bucket"], max_bucket, observation).select(
@@ -708,6 +802,7 @@ def ann_join_topk(
     qx = q_b.select(
         F.col(qid).alias("query_id"),
         F.col(qvec).alias("_qvec"),
+        _norm(F.col(qvec)).alias("_qn"),
         F.explode(F.array(*probes)).alias("_probe"),
     )
     cond = F.col("lsh_bucket") == F.col("_probe")
@@ -761,7 +856,7 @@ def ivf_join_topk(
     cents = _centroids(dim, n_lists, seed) if centroids is None else centroids
     corpus_l = with_ivf_list(
         corpus, dim, n_lists=len(cents), seed=seed, vec_col=vec_col, centroids=cents
-    )
+    ).withColumn("_cn", _norm(F.col(vec_col)))
     # per-query probe lists: struct sort on (-dot, list_ix) = score desc,
     # index-ascending ties — the same ranking ivf_topk's driver-side
     # argsort and the SQL oracle's (ORDER BY sc DESC, i ASC) use; one
@@ -779,6 +874,7 @@ def ivf_join_topk(
     qx = queries.select(
         F.col(qid).alias("query_id"),
         F.col(qvec).alias("_qvec"),
+        _norm(F.col(qvec)).alias("_qn"),
         F.explode(probes).alias("_plist"),
     )
     joined = corpus_l.join(qx, F.col("ivf_list") == F.col("_plist")).where(
