@@ -1190,23 +1190,23 @@ def dup_clusters(
     # of a 12-node chain).  On a real cluster prefer a reliable
     # checkpoint dir (sc.setCheckpointDir + .checkpoint) so a lost
     # executor can't lose a round's labels.
-    labels = (
-        df.select(F.col(id_col).alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-        .localCheckpoint()
-    )
-
-    def _label_sum(lbls: DataFrame):
-        # exact decimal sum — int64 summation could overflow at extreme
-        # vertex-count × id-magnitude combinations
-        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-
     # Convergence check: each round takes least(own, neighborhood min), so
     # every vertex's label is NON-INCREASING — the label sum is strictly
     # decreasing until the fixpoint, and sum equality ⇔ no vertex changed.
-    # One cheap aggregate per round instead of a self-join + count.
-    prev_sum = _label_sum(labels)
+    # r7: the exact decimal sum rides the checkpoint's OWN materialization
+    # job as an observed metric (int64 summation could overflow at extreme
+    # vertex-count × id-magnitude combinations) — one job per round
+    # instead of checkpoint + a separate aggregate action.
+    def _checkpoint_with_sum(lbls: DataFrame):
+        obs = Observation()
+        ck = lbls.observe(
+            obs, F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, obs.get["s"]
+
+    labels, prev_sum = _checkpoint_with_sum(
+        df.select(F.col(id_col).alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -1214,16 +1214,14 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new = (
+        new, new_sum = _checkpoint_with_sum(
             labels.alias("l")
             .join(neigh.alias("n"), F.col("l.v") == F.col("n.src"), "left")
             .select(
                 F.col("l.v").alias("v"),
                 F.least(F.col("l.lbl"), F.coalesce(F.col("n.nlbl"), F.col("l.lbl"))).alias("lbl"),
             )
-            .localCheckpoint()
         )
-        new_sum = _label_sum(new)
         labels = new
         if new_sum == prev_sum:
             converged = True
