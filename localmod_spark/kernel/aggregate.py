@@ -371,13 +371,29 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
     if "nsfw" in enabled:
         lowered = s.str.lower()
         explicit = lowered.str.contains(nsfw_mod._KEYWORD_ALT, na=False).to_numpy()
-        safe_hit = s.str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
-        safe = safe_hit & ~explicit  # `nsfw.py:82-87`
         if cfg.nsfw_prob_fn is not None:
+            # model path: the prob can exceed 0.5 anywhere, so the safe
+            # scan stays a full-batch pass
+            safe_hit = s.str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
+            safe = safe_hit & ~explicit  # `nsfw.py:82-87`
             nsfw_prob = _ml_probs(cfg.nsfw_prob_fn)
         else:
-            suggestive = lowered.str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
+            # surrogate path, decision-gated scans: suggestive only ever
+            # decides rows WITHOUT an explicit keyword, and the safe
+            # override only fires where prob > 0.5 — i.e. only on
+            # explicit/suggestive rows (everything else scores 0.03) —
+            # so both regexes run on those slices only, truth-identical
+            suggestive = np.zeros(n, dtype=bool)
+            rest = ~explicit
+            if rest.any():
+                suggestive[rest] = (
+                    lowered[rest].str.contains(nsfw_mod._SUGGESTIVE_ALT, na=False).to_numpy()
+                )
             nsfw_prob = np.where(explicit, 0.97, np.where(suggestive, 0.55, 0.03))
+            safe = np.zeros(n, dtype=bool)
+            hot = ~explicit & suggestive  # `safe` is masked by ~explicit anyway
+            if hot.any():
+                safe[hot] = s[hot].str.contains(nsfw_mod._SAFE_ALT, na=False).to_numpy()
         nsfw_prob = np.where(  # `nsfw.py:127-129`
             safe & (nsfw_prob > 0.5), np.minimum(nsfw_prob * 0.1, 0.3), nsfw_prob
         )
@@ -485,14 +501,19 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
 
     # ---- per-row assembly of ordered fields (cheap Python, no regex) ----
     severities = np.stack([tox_sev, np.array(pii_sev, dtype=object), inj_sev, spam_sev, nsfw_sev])
-    rank = np.vectorize(SEVERITY_RANK.get)(severities.astype(str))
+    # unique-based rank lookup (same SEVERITY_RANK values) — np.vectorize
+    # called the dict per cell; there are only ~5 distinct severity strings
+    sev_str = severities.astype(str)
+    _u, _inv = np.unique(sev_str, return_inverse=True)
+    rank = np.array([SEVERITY_RANK.get(x) for x in _u])[_inv].reshape(sev_str.shape)
     overall_sev = severities[rank.argmax(axis=0), np.arange(n)]
 
-    summaries: List[str] = []
-    categories: List[list] = []
-    spam_cat_names = [name for name, _ in spam_masks]
-    inj_cat_names = [cat for cat, _ in inj_cat_masks]
-    for i in range(n):
+    # clean rows (the vast majority) all share the fixed pass summary and
+    # an empty category list — only flagged rows need the per-row build;
+    # same strings/lists per row as the old full loop
+    summaries: List[str] = [build_summary([])] * n
+    categories: List[list] = [[] for _ in range(n)]
+    for i in np.nonzero(flagged)[0]:
         results = []
         if tox_flag[i]:
             results.append(KernelResult("toxicity", True, tox_prob[i], str(tox_sev[i]), ("toxic",)))
@@ -506,13 +527,13 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             results.append(KernelResult("spam", True, spam_score[i], str(spam_sev[i]), cats))
         if nsfw_flag[i]:
             results.append(KernelResult("nsfw", True, nsfw_prob[i], str(nsfw_sev[i]), ("sexual_content",)))
-        summaries.append(build_summary(results))
+        summaries[i] = build_summary(results)
         row_cats: List[str] = []
         for r in results:
             for c in r.categories:
                 if c not in row_cats:
                     row_cats.append(c)
-        categories.append(row_cats)
+        categories[i] = row_cats
 
     return pd.DataFrame(
         {
@@ -540,13 +561,19 @@ def analyze_frame(texts: pd.Series, cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.
             "spam_severity": spam_sev.astype(str),
             "nsfw_severity": nsfw_sev.astype(str),
             # reference contract: categories only when flagged
-            # (`spam.py:114`, `prompt_injection.py:143`)
-            "pii_categories": [pii_cats[i] if pii_flag[i] else [] for i in range(n)],
+            # (`spam.py:114`, `prompt_injection.py:143`); flags pre-
+            # converted to plain bools — per-cell numpy indexing dominated
+            # these comprehensions on mostly-clean batches
+            "pii_categories": [
+                pii_cats[i] if f else [] for i, f in enumerate(pii_flag.tolist())
+            ],
             "inj_categories": [
-                [c for c, m in inj_cat_masks if m[i]] if inj_flag[i] else [] for i in range(n)
+                [c for c, m in inj_cat_masks if m[i]] if f else []
+                for i, f in enumerate(inj_flag.tolist())
             ],
             "spam_categories": [
-                [c for c, m in spam_masks if m[i]] if spam_flag[i] else [] for i in range(n)
+                [c for c, m in spam_masks if m[i]] if f else []
+                for i, f in enumerate(spam_flag.tolist())
             ],
         },
         index=idx,

@@ -18,6 +18,7 @@ Pure Python/regex; vectorizes per Arrow batch inside the Spark UDF.
 from __future__ import annotations
 
 import re
+from collections import Counter
 from typing import List, Tuple
 
 # Fixed evaluation order = deterministic tie-break.
@@ -84,9 +85,7 @@ def detect_language(text: str) -> Tuple[str, float]:
     tokens = _WORD_RE.findall(lowered)
     if not tokens:
         return UNKNOWN, 0.0
-    counts: dict = {}
-    for t in tokens:
-        counts[t] = counts.get(t, 0) + 1
+    counts = Counter(tokens)  # C-level; same (token, count) pairs
     hits = [0] * _N_PROFILES
     mask_get = _WORD_TO_MASK.get
     for t, c in counts.items():

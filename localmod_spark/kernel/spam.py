@@ -42,8 +42,10 @@ DEFAULT_THRESHOLD = 0.3  # pattern-only config, `tests/test_classifiers/test_spa
 def caps_ratio(text: str) -> float:
     """Uppercase-character share via ``str.isupper`` per char
     (`src/localmod/classifiers/spam.py:135`).  NOTE: ``c.isupper()`` is
-    Unicode-aware (unlike ``[A-Z]``), so this stays a per-char Python check."""
-    return sum(1 for c in text if c.isupper()) / max(len(text), 1)
+    Unicode-aware (unlike ``[A-Z]``), so this stays a per-char check —
+    ``map(str.isupper, ...)`` runs the identical predicate at C speed
+    (bools sum as 0/1, same count as the old genexpr)."""
+    return sum(map(str.isupper, text)) / max(len(text), 1)
 
 
 def spam_heuristics(text: str) -> Tuple[List[str], float]:
