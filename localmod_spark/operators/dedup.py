@@ -1204,8 +1204,13 @@ def dup_clusters(
         ).localCheckpoint()
         return ck, obs.get["s"]
 
+    # r7: iterate ONLY over edge-touched vertices — a vertex with no edge
+    # can never change its label, so keeping the whole corpus in the
+    # per-round join was pure waste (at 10^12 docs the duplicate graph is
+    # orders of magnitude smaller than the corpus); singletons re-enter
+    # via the final left join, identical output.
     labels, prev_sum = _checkpoint_with_sum(
-        df.select(F.col(id_col).alias("v")).distinct().withColumn("lbl", F.col("v"))
+        sym.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     converged = False
     for _ in range(max_iter):
@@ -1242,7 +1247,14 @@ def dup_clusters(
             "use algorithm='auto' (falls back to large/small-star), or "
             "algorithm='star' for adversarially deep duplicate chains."
         )
-    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("cluster"))
+    all_ids = df.select(F.col(id_col).alias("v")).distinct()
+    return (
+        all_ids.join(labels, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("v")).alias("cluster"),
+        )
+    )
 
 
 # -------------------------------------------------------------- simhash ----
