@@ -1343,9 +1343,17 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 50 == 0)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    truth = staged_knn_truth(
-        q, emb, k=5, truth_dir=f"/tmp/lmspark_ann_truth/{tag}"
+    # user-scoped staging dir (ADVICE-r6): the fixed world-writable
+    # /tmp/lmspark_ann_truth was shared across users — a concurrent
+    # writer could cause permission failures or plant a key-matching
+    # table the key check would trust
+    import getpass
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"lmspark_ann_truth_{getpass.getuser()}"
     )
+    truth = staged_knn_truth(q, emb, k=5, truth_dir=os.path.join(base, tag))
     lsh = ann_join_topk(q, emb, dim=_EMB_DIM, k=5, n_planes=8, hamming=1).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id"
     )
