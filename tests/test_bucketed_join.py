@@ -76,7 +76,7 @@ def test_bucketed_corpus_removes_ann_join_corpus_exchange(spark):
         # corpus already carries lsh_bucket → skip the re-bucketing by
         # joining the exploded query probes against the stored column
         from pyspark.sql import Window
-        from localmod_spark.operators.similarity import _per_query_topk
+        from localmod_spark.operators.similarity import _norm, _per_query_topk
 
         q_b = with_lsh_bucket(q, dim=64, n_planes=6)
         probes = [F.col("lsh_bucket")] + [
@@ -85,10 +85,13 @@ def test_bucketed_corpus_removes_ann_join_corpus_exchange(spark):
         qx = q_b.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("_qvec"),
+            _norm(F.col("embedding")).alias("_qn"),
             F.explode(F.array(*probes)).alias("_probe"),
         )
-        joined = corpus.join(qx, F.col("lsh_bucket") == F.col("_probe")).where(
-            F.col("vec_id") != F.col("query_id")
+        joined = (
+            corpus.withColumn("_cn", _norm(F.col("embedding")))
+            .join(qx, F.col("lsh_bucket") == F.col("_probe"))
+            .where(F.col("vec_id") != F.col("query_id"))
         )
         out = _per_query_topk(joined, 3, "vec_id", "embedding")
         bucketed_plan = out._jdf.queryExecution().executedPlan().toString()
