@@ -52,14 +52,17 @@ def _gram_array(text_col: str, bigrams: bool) -> Column:
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
     if not bigrams:
         return words
-    bis = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            # sequence() with stop < start DESCENDS — guard the 1-word doc
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r7: zip_with over two slices instead of an indexed transform with
+    # element_at(words, …) in the lambda — a lambda-internal reference to
+    # the tokenizer expression is re-inlined by project collapse and
+    # re-split PER ELEMENT (O(tokens²) per doc); zip_with's inputs are
+    # row-level arguments evaluated once.  Identical bigram strings
+    # (slice stop<start yields [], so the 0/1-word guard is implicit).
+    bis = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     return F.concat(words, bis)
 
 
