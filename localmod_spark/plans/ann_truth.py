@@ -35,6 +35,10 @@ def _fingerprint(df: DataFrame, id_col: str, vec_col: str) -> str:
     return f"{row['n']}:{(row['h'] or 0) & ((1 << 64) - 1):016x}"
 
 
+def _fmt(n: int, h) -> str:
+    return f"{n}:{(h or 0) & ((1 << 64) - 1):016x}"
+
+
 def truth_key(
     queries: DataFrame,
     corpus: DataFrame,
@@ -42,12 +46,55 @@ def truth_key(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    return f"k={k};q={_fingerprint(queries, id_col, vec_col)};c={_fingerprint(corpus, id_col, vec_col)}"
+    """Content key — r7: both sides fingerprinted in ONE tagged-union
+    aggregate job instead of two (the reuse path runs on every monitor
+    call, and per-job driver overhead dominates at bench scale).  The
+    per-side (count, bit_xor) pairs — and therefore the key string —
+    are identical to the old two-job form."""
+
+    def _tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("_t"),
+            F.xxhash64(F.col(id_col), F.col(vec_col)).alias("_h"),
+        )
+
+    rows = (
+        _tagged(queries, "q")
+        .unionByName(_tagged(corpus, "c"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("_h").alias("h"))
+        .collect()
+    )
+    by_tag = {r["_t"]: (r["n"], r["h"]) for r in rows}
+    fq = _fmt(*by_tag.get("q", (0, 0)))
+    fc = _fmt(*by_tag.get("c", (0, 0)))
+    return f"k={k};q={fq};c={fc}"
 
 
 def _stored_key(spark: SparkSession, truth_dir: str) -> str | None:
+    key_dir = os.path.join(truth_dir, _KEY_SUBDIR)
+    if os.path.isdir(key_dir):
+        # local-filesystem fast path: the key is one tiny parquet row —
+        # read it driver-side without launching a Spark job (the Spark
+        # read below stays the generic path for HDFS/object-store dirs)
+        try:
+            import pyarrow.parquet as pq
+
+            parts = [
+                f for f in os.listdir(key_dir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            if not parts:
+                return None
+            tbl = pq.read_table(
+                [os.path.join(key_dir, f) for f in sorted(parts)], columns=["key"]
+            )
+            vals = tbl.column("key").to_pylist()
+            return vals[0] if vals else None
+        except Exception:  # noqa: BLE001 — unreadable key = not staged
+            return None
     try:
-        rows = spark.read.parquet(os.path.join(truth_dir, _KEY_SUBDIR)).collect()
+        rows = spark.read.parquet(key_dir).collect()
         return rows[0]["key"] if rows else None
     except Exception:  # noqa: BLE001 — no/unreadable key = not staged
         return None
