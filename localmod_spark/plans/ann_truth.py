@@ -132,11 +132,23 @@ def staged_knn_truth(
             f"!= current {key!r}); rerun with on_stale='recompute' after "
             "confirming the corpus/query-set change is intentional"
         )
+    import warnings
+
+    warnings.warn(
+        f"staged ANN truth at {truth_dir}: "
+        + ("no valid key found" if stored is None else "stale key")
+        + " — recomputing the exact kNN pass",
+        stacklevel=2,
+    )
     from localmod_spark.operators.similarity import knn_join
 
     truth = knn_join(queries, corpus, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col(id_col).alias("vec_id")
     )
+    # |queries|·k rows — a tiny table; one post-compute exchange down to a
+    # single writer task replaces 32 near-empty files + their commit round
+    # trips (the kNN itself still computes at full parallelism upstream)
+    truth = truth.repartition(1)
     # shared crash discipline (tmp-write → old key deleted BEFORE the
     # swap → key row LAST): a crash never leaves old-key + new-data,
     # which a later run whose inputs match the OLD key would silently
