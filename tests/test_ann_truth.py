@@ -44,6 +44,29 @@ def test_stage_then_reuse_without_recompute(spark, emb, queries, tmp_path, monke
     assert second == first
 
 
+def test_truth_key_matches_per_side_fingerprints(emb, queries):
+    """r7 internals guard: the single tagged-union fingerprint job must
+    produce the exact key string of the old two-job form — a staged
+    artifact written before the change must keep validating."""
+    expected = (
+        f"k=5;q={at._fingerprint(queries, 'vec_id', 'embedding')}"
+        f";c={at._fingerprint(emb, 'vec_id', 'embedding')}"
+    )
+    assert truth_key(queries, emb, 5) == expected
+
+
+def test_stored_key_pyarrow_fast_path_reads_what_spark_wrote(spark, emb, queries, tmp_path):
+    """The local-filesystem key read (driver-side pyarrow, no Spark job)
+    must return the same key the generic Spark read sees."""
+    d = str(tmp_path / "truth_fp")
+    staged_knn_truth(queries, emb, 5, d)
+    key_dir = os.path.join(d, "_truth_key")
+    assert os.path.isdir(key_dir)  # precondition: fast path engages
+    fast = at._stored_key(spark, d)
+    via_spark = spark.read.parquet(key_dir).collect()[0]["key"]
+    assert fast == via_spark == truth_key(queries, emb, 5)
+
+
 def test_changed_corpus_invalidates_the_key(spark, emb, queries, tmp_path):
     d = str(tmp_path / "truth")
     staged_knn_truth(queries, emb, 5, d)

@@ -473,6 +473,28 @@ def test_repeated_spans_hash_join_equals_string_join(spark):
     assert by_str == by_hash and by_str
 
 
+def test_repeated_spans_window_path_equals_aggregate_path(spark):
+    """r7 internals guard: the default (windowed doc-frequency) plan and
+    the observation-retaining aggregate+join plan are the same operator —
+    identical rows on real data, for both units."""
+    from pyspark.sql import Observation
+
+    from localmod_spark.operators.dedup import repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for unit, n in (("word", 5), ("char", 30)):
+        windowed = {
+            tuple(r) for r in repeated_spans(docs, n=n, min_docs=2, unit=unit).collect()
+        }
+        agg = {
+            tuple(r)
+            for r in repeated_spans(
+                docs, n=n, min_docs=2, unit=unit, observation=Observation()
+            ).collect()
+        }
+        assert windowed == agg and windowed, unit
+
+
 def test_span_scrub_cuts_boilerplate_and_converges(spark):
     """remove_repeated_spans excises the shared footer from every doc
     that carries it: the scrubbed corpus has NO repeated span left
